@@ -1,0 +1,41 @@
+"""Stable hashing helpers (SURVEY.md §2.B B9).
+
+Two families:
+  * xxhash64 — the fast path for internal ids / salts / MinHash permutations.
+    Deterministic under task retries (unlike monotonically_increasing_id),
+    which the resumable-checkpoint contract requires.
+  * md5_long — 60-bit integer from the md5 hex prefix. Slower, but DuckDB
+    computes the *identical* value (('0x'||substring(md5(s),1,15))::BIGINT),
+    which makes MinHash/LSH/SimHash oracle-checkable end-to-end. Verified
+    equal across engines for seed strings in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def record_id_from_url(url_col: Column | str) -> Column:
+    """Dense deterministic 64-bit record id: xxhash64(url)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.xxhash64(c)
+
+
+def md5_long(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative BIGINT (60 bits).
+
+    DuckDB equivalent: ('0x' || substring(md5(x), 1, 15))::BIGINT
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_seeded(col: Column, seed: int) -> Column:
+    """Seeded variant used as the i-th MinHash permutation: md5(seed||':'||x)."""
+    return md5_long(F.concat(F.lit(f"{seed}:"), col))
+
+
+def salt_col(id_col: Column | str, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) from a record id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(c), F.lit(n_salts)).cast("int")

@@ -1,0 +1,173 @@
+"""Blocking: key generation, skew armor, candidate-pair join
+(SURVEY.md §2.C — the skew-critical core).
+
+Scale design (10^12 docs): block keys follow a Zipf head — a handful of
+keys cover a large share of records and would emit O(block^2) pairs. Three
+explicit defenses, in order, all BEFORE the pair self-join:
+
+  C2 stop-key suppression — drop keys whose block exceeds `max_block_size`
+     (block purging, Papadakis et al. VLDB 2016). The key-frequency table is
+     tiny (distinct keys with count > cap) and broadcast-joined back.
+  C3 per-block top-N cap — deterministic row_number cap inside surviving
+     blocks, so a block can never emit more than N^2/2 pairs.
+  C4 salted repartition — residual hot keys are split into
+     xxhash64(record_id) % n_salts sub-blocks purely for shuffle-partition
+     balance of downstream per-block work. NOTE: salting partitions work; the
+     pair join itself joins on block_key only (salted sub-block pair joins
+     would lose cross-salt pairs), so C2/C3 are the pair-explosion bound and
+     C4 is the shuffle-balance mechanism. AQE skew-join stays on as
+     belt-and-braces.
+
+Everything is native DataFrame ops — the pair join is a hash/sort-merge
+equi-join picked by Catalyst, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import salt_col
+from ..functions.minhash import lsh_band_keys, minhash_signature
+from ..functions.normalize import char_shingles, prefix_key
+
+
+def token_blocks(records: DataFrame, min_token_len: int = 3) -> DataFrame:
+    """C1: one row per (token, record). Tokens shorter than min_token_len are
+    dropped (single chars block nothing useful and are maximally skewed)."""
+    return (
+        records.select(
+            "record_id",
+            F.explode(F.array_distinct("tokens")).alias("block_key"),
+        )
+        .filter(F.length("block_key") >= min_token_len)
+        .withColumn("strategy", F.lit("token"))
+    )
+
+
+def prefix_blocks(records: DataFrame, n: int = 8) -> DataFrame:
+    """C1: prefix blocking on the normalized text."""
+    return records.select(
+        "record_id",
+        prefix_key("norm_text", n).alias("block_key"),
+        F.lit("prefix").alias("strategy"),
+    ).filter(F.length("block_key") > 0)
+
+
+def minhash_lsh_blocks(
+    records: DataFrame,
+    shingle_k: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """C1: MinHash/LSH blocking — band hashes as block keys."""
+    rows = num_perm // bands
+    sig = records.filter(F.length("norm_text") > 0).select(
+        "record_id",
+        minhash_signature(
+            char_shingles("norm_text", shingle_k), num_perm, hash_fn
+        ).alias("sig"),
+    )
+    return sig.select(
+        "record_id",
+        F.explode(lsh_band_keys("sig", bands, rows, hash_fn)).alias("band"),
+    ).select(
+        "record_id",
+        F.concat(
+            F.col("band.band_id").cast("string"),
+            F.lit(":"),
+            F.col("band.band_hash").cast("string"),
+        ).alias("block_key"),
+        F.lit("minhash_lsh").alias("strategy"),
+    )
+
+
+def all_blocks(
+    records: DataFrame,
+    strategies: tuple[str, ...] = ("token", "prefix", "minhash_lsh"),
+    **kw,
+) -> DataFrame:
+    """C1: union of the enabled strategies (block_key namespaced by strategy
+    so identical strings from different strategies never merge blocks)."""
+    parts = []
+    if "token" in strategies:
+        parts.append(token_blocks(records, kw.get("min_token_len", 3)))
+    if "prefix" in strategies:
+        parts.append(prefix_blocks(records, kw.get("prefix_n", 8)))
+    if "minhash_lsh" in strategies:
+        parts.append(
+            minhash_lsh_blocks(
+                records,
+                kw.get("shingle_k", 5),
+                kw.get("num_perm", 32),
+                kw.get("bands", 8),
+                kw.get("hash_fn", "xxhash64"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.concat_ws("|", "strategy", "block_key").alias("block_key"),
+        "strategy",
+        "record_id",
+    )
+
+
+def suppress_stop_keys(blocks: DataFrame, max_block_size: int) -> DataFrame:
+    """C2: drop blocks larger than max_block_size.
+
+    Computes the (small) set of oversized keys and broadcast anti-joins it
+    back — two scans of `blocks` but no wide shuffle of the full table.
+    """
+    hot = (
+        blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block_size)
+        .select("block_key")
+    )
+    return blocks.join(F.broadcast(hot), "block_key", "left_anti")
+
+
+def cap_block_size(blocks: DataFrame, top_n: int) -> DataFrame:
+    """C3: deterministic top-N within each block (ordered by record_id)."""
+    w = Window.partitionBy("block_key").orderBy("record_id")
+    return (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .drop("rn")
+    )
+
+
+def salt_blocks(blocks: DataFrame, n_salts: int = 16) -> DataFrame:
+    """C4: attach a deterministic salt and repartition on (block_key, salt)
+    so downstream per-block work spreads hot keys over n_salts partitions."""
+    salted = blocks.withColumn("salt", salt_col("record_id", n_salts))
+    return salted.repartition("block_key", "salt")
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """C5: all unordered in-block pairs, deduped across blocks/strategies.
+
+    Equi-join on block_key + id1 < id2 filter + dropDuplicates. The join is
+    safe only AFTER C2/C3 bounded every block.
+    """
+    left = blocks.select(F.col("block_key"), F.col("record_id").alias("id1"))
+    right = blocks.select(F.col("block_key"), F.col("record_id").alias("id2"))
+    return (
+        left.join(right, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def exclude_pairs(cand: DataFrame, done: DataFrame) -> DataFrame:
+    """C6: anti-join already-scored pairs (resume path)."""
+    return cand.join(done.select("id1", "id2"), ["id1", "id2"], "left_anti")
+
+
+def restrict_pairs(cand: DataFrame, wanted: DataFrame) -> DataFrame:
+    """C6: semi-join to a pair subset (evaluation path)."""
+    return cand.join(wanted.select("id1", "id2"), ["id1", "id2"], "left_semi")

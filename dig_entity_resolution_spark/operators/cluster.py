@@ -1,0 +1,166 @@
+"""Transitive closure over the match graph (SURVEY.md §2.E).
+
+Implements the alternating large-star/small-star connected-components
+algorithm of Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC 2014) — O(log^2 n) rounds, each round two groupBy-join passes over the
+edge table. Pure DataFrame ops; each round is localCheckpoint'ed to truncate
+Catalyst lineage (the classic iterative-Spark requirement — without it the
+plan grows exponentially and analysis stalls around round 10).
+
+Also provides min-label propagation (cc_propagate) as an independent
+implementation used to cross-check results in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(matches: DataFrame, c1: str = "id1", c2: str = "id2") -> DataFrame:
+    """E1: canonicalize to src < dst, dedupe, drop self-loops."""
+    return (
+        matches.select(
+            F.least(F.col(c1), F.col(c2)).alias("src"),
+            F.greatest(F.col(c1), F.col(c2)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """E2: ∀u emit (v, m) for neighbors v > u, where m = min(Γ(u) ∪ {u}).
+
+    Input must be the symmetric edge list.
+    """
+    m = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        edges.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """E3: ∀u over neighbors v ≤ u: m = min(Γ≤(u) ∪ {u}); emit (v, m)."""
+    le = edges.filter(F.col("dst") <= F.col("src"))
+    m = le.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        le.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return out
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive, overflow-free under ANSI mode
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """E2–E5: returns (record_id, cluster_id) for every node appearing in
+    `edges`; cluster_id = min record_id in the component.
+
+    Convergence: stop when the canonical edge set's (count, hash-sum)
+    fingerprint is stable across a full large+small round.
+    """
+    cur = canonical_edges(edges, "src", "dst").localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_rounds):
+        sym = _symmetrize(cur)
+        ls = _large_star(sym)
+        # small-star operates on edges oriented high→low: flip canonical
+        ss_in = ls.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).dropDuplicates(["src", "dst"])
+        ss = _small_star(ss_in)
+        cur = (
+            ss.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # At convergence every edge is (root, member) star edge with src = min.
+    members = cur.select(F.col("dst").alias("record_id"), F.col("src").alias("cluster_id"))
+    roots = cur.select(F.col("src").alias("record_id"), F.col("src").alias("cluster_id"))
+    assign = (
+        members.unionByName(roots)
+        .groupBy("record_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return assign
+
+
+def cc_propagate(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Independent CC implementation (min-label propagation) for testing.
+
+    label(u) ← min(label(u), min label of neighbors); iterate to fixpoint.
+    O(diameter) rounds — fine for tests, not the scale path.
+    """
+    sym = _symmetrize(canonical_edges(edges, "src", "dst"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("record_id"), F.col("label").alias("cluster_id"))
+
+
+def clusters_with_singletons(assign: DataFrame, records: DataFrame) -> DataFrame:
+    """E5: extend the CC assignment to all records; singletons keep their id."""
+    return (
+        records.select("record_id")
+        .join(assign, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce(F.col("cluster_id"), F.col("record_id")).alias("cluster_id"),
+        )
+    )

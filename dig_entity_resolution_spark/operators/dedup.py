@@ -1,0 +1,220 @@
+"""Deduplication suite for training-data pipelines.
+
+Five dedup families, each a composition of engine primitives:
+  exact          — md5-groupBy on normalized text
+  minhash_lsh    — shingle → MinHash → band → bucket self-join (Broder/MMDS)
+  simhash        — 64-bit SimHash + banded-bit blocking + Hamming filter
+  ngram_jaccard  — char-n-gram Jaccard over blocked candidates
+  embedding      — cosine near-dup over a vector column
+
+All native DataFrame ops (SimHash/MinHash are expression-level); designed so
+the candidate side never materializes O(n^2) — every family blocks first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.minhash import hamming64, lsh_band_keys, minhash_signature, simhash64
+from ..functions.normalize import char_shingles, normalize_text, tokenize
+from ..functions.similarity import cosine_native, token_jaccard
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text; returns (content_key, doc_id,
+    group_size, is_canonical) — canonical = min id in group."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(text_col)).alias("content_key"),
+    )
+    grp = keyed.groupBy("content_key").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical_id")
+    )
+    return keyed.join(grp, "content_key").select(
+        "content_key",
+        "doc_id",
+        "group_size",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH, verified by true shingle Jaccard.
+
+    Returns (id1, id2, jaccard) with jaccard ≥ threshold. Buckets larger than
+    max_bucket are suppressed (stop-key logic) before the self-join.
+    """
+    rows = num_perm // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(normalize_text(text_col), shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.select(
+        "doc_id",
+        "shingles",
+        minhash_signature("shingles", num_perm, hash_fn).alias("sig"),
+    )
+    buckets = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(lsh_band_keys("sig", bands, rows, hash_fn)).alias("band"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.concat_ws(":", F.col("band.band_id"), F.col("band.band_hash")).alias(
+            "bucket"
+        ),
+    )
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    left = buckets.select(
+        "bucket", F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1")
+    )
+    right = buckets.select(
+        "bucket", F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2")
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1", "id2", token_jaccard("sh1", "sh2").alias("jaccard")
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-dup: 60-bit fingerprint, blocked on 15-bit quarters
+    (a pair within Hamming ≤ 3·15 shares at least one exact quarter when
+    hamming ≤ n_bands-1 differing bands — the standard pigeonhole trick).
+
+    Returns (id1, id2, hamming) with hamming ≤ max_hamming.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(tokenize(normalize_text(text_col)), hash_fn).alias("fp"),
+    )
+    width = 60 // n_bands
+    bandcols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("fp"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = fp.select(
+        "doc_id", "fp", F.explode(bandcols).alias("b")
+    ).select(
+        "doc_id",
+        "fp",
+        F.concat_ws(":", F.col("b.band_id"), F.col("b.band_val")).alias("bucket"),
+    )
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    l = buckets.select("bucket", F.col("doc_id").alias("id1"), F.col("fp").alias("fp1"))
+    r = buckets.select("bucket", F.col("doc_id").alias("id2"), F.col("fp").alias("fp2"))
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1", "id2", hamming64("fp1", "fp2").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    prefix_block: int = 10,
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dup over prefix-blocked candidates."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(text_col).alias("norm"),
+    ).withColumn("grams", char_shingles("norm", n))
+    blocked = base.withColumn("bkey", F.substring("norm", 1, prefix_block))
+    l = blocked.select("bkey", F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
+    r = blocked.select("bkey", F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))
+    cand = (
+        l.join(r, "bkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1", "id2", token_jaccard("g1", "g2").alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_dup_pairs(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_sign_bits: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding cosine near-dup, LSH-blocked on the sign pattern of the
+    first n_sign_bits dimensions (a deterministic hyperplane-LSH family —
+    axis-aligned planes; near-identical vectors share the bucket w.h.p.).
+    """
+    sign_bucket = F.concat_ws(
+        "",
+        *[
+            (F.element_at(F.col(vec_col), i + 1) > 0).cast("int").cast("string")
+            for i in range(n_sign_bits)
+        ],
+    )
+    base = vecs.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sign_bucket.alias("bucket")
+    )
+    hot = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    base = base.join(F.broadcast(hot), "bucket", "left_anti")
+    l = base.select("bucket", F.col("vid").alias("id1"), F.col("v").alias("v1"))
+    r = base.select("bucket", F.col("vid").alias("id2"), F.col("v").alias("v2"))
+    cand = l.join(r, "bucket").filter(F.col("id1") < F.col("id2"))
+    return cand.select(
+        "id1", "id2", cosine_native("v1", "v2").alias("cos")
+    ).filter(F.col("cos") >= threshold)

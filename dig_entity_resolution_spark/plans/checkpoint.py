@@ -1,0 +1,114 @@
+"""Checkpoint sink/source with per-partition lineage (SURVEY.md §2.A A2/A3).
+
+Contract [BASELINE.json:6,14]: every stage appends a checkpointed table
+carrying per-partition lineage and counters so the pipeline resumes mid-run.
+
+Storage interface with two intended impls (SURVEY.md §1.4): Iceberg
+(`df.writeTo(tbl).append()` + catalog schema) when an Iceberg catalog is
+configured, and the plain-Parquet-directory impl below otherwise (this
+sandbox has no Iceberg jar). The Parquet impl is what tests exercise; the
+layout mirrors an Iceberg table's data/metadata split:
+
+    <root>/<run_id>/<stage>/            parquet files + _SUCCESS
+    <root>/<run_id>/_meta/<stage>/      lineage rows (one per written file)
+
+A stage is COMPLETE iff the writer's _SUCCESS marker exists AND the lineage
+row-count total equals the table's row count (torn writes resume cleanly:
+an incomplete stage is simply recomputed).
+
+Lineage is captured AFTER the write from the materialized files
+(input_file_name groupBy) — exactly-once by construction, unlike Spark
+accumulators which double-count under task retries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ParquetCheckpoint:
+    def __init__(self, spark: SparkSession, root: str, run_id: str):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+
+    # -- paths ---------------------------------------------------------
+    def table_path(self, stage: str) -> str:
+        return os.path.join(self.root, self.run_id, stage)
+
+    def meta_path(self, stage: str) -> str:
+        return os.path.join(self.root, self.run_id, "_meta", stage)
+
+    # -- sink (A2) ------------------------------------------------------
+    def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        path = self.table_path(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        written = self.spark.read.parquet(path)
+        lineage = (
+            written.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.lit(self.run_id).alias("run_id"),
+                (F.row_number().over(Window.orderBy("file")) - 1).alias(
+                    "partition_id"
+                ),
+                "rows_out",
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(self.meta_path(stage))
+        return written
+
+    # -- source (A3) ----------------------------------------------------
+    def is_complete(self, stage: str) -> bool:
+        path = self.table_path(stage)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        meta = self.meta_path(stage)
+        if not os.path.exists(os.path.join(meta, "_SUCCESS")):
+            return False
+        try:
+            meta_rows = (
+                self.spark.read.parquet(meta)
+                .agg(F.sum("rows_out").alias("n"))
+                .collect()[0]["n"]
+            )
+            table_rows = self.spark.read.parquet(path).count()
+        except Exception:
+            return False
+        return meta_rows == table_rows
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(stage))
+
+    def lineage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.meta_path(stage))
+
+    def counters(self) -> dict[str, int]:
+        """Stage → rows_out, from lineage (cheap run report)."""
+        out = {}
+        meta_root = os.path.join(self.root, self.run_id, "_meta")
+        if not os.path.isdir(meta_root):
+            return out
+        for stage in sorted(os.listdir(meta_root)):
+            try:
+                out[stage] = int(
+                    self.spark.read.parquet(os.path.join(meta_root, stage))
+                    .agg(F.sum("rows_out"))
+                    .collect()[0][0]
+                )
+            except Exception:
+                continue
+        return out
+
+    def invalidate(self, stage: str) -> None:
+        for p in (self.table_path(stage), self.meta_path(stage)):
+            shutil.rmtree(p, ignore_errors=True)
