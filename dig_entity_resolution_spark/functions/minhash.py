@@ -15,7 +15,7 @@ collide in a band iff the r minhashes in that band are all equal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import md5_long
@@ -39,10 +39,15 @@ def minhash_signature(
     callers should filter empty docs first.
     """
     c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    mins = [
-        F.array_min(F.transform(c, lambda s, i=i: _perm_hash(s, i, hash_fn)))
-        for i in range(num_perm)
-    ]
+
+    def _hash_fn_for(i: int):
+        # NOTE: must return a ONE-parameter lambda — a two-parameter lambda
+        # (e.g. `lambda s, i=i: ...`) is treated by F.transform as an
+        # (element, index) function and the array index silently replaces
+        # the seed.
+        return lambda s: _perm_hash(s, i, hash_fn)
+
+    mins = [F.array_min(F.transform(c, _hash_fn_for(i))) for i in range(num_perm)]
     return F.array(*mins)
 
 
@@ -68,52 +73,59 @@ def lsh_band_keys(
     return F.array(*out)
 
 
-def simhash64(tokens_col: Column | str, hash_fn: str = "xxhash64") -> Column:
-    """64-bit SimHash (Charikar 2002) of a token array, as BIGINT. (dedup op)
+SIMHASH_BITS = 60  # md5_long is 60-bit; keeps every shift literal + positive
 
-    bit i of the fingerprint is 1 iff sum over tokens of (2*bit_i(h)-1) > 0,
-    h = 60-bit token hash. Pure native: aggregate over the token array with a
-    64-slot accumulator encoded as array<int>.
+
+def simhash_table(
+    df: "DataFrame",
+    id_col: str,
+    tokens_col: str,
+    hash_fn: str = "xxhash64",
+    bits: int = SIMHASH_BITS,
+) -> "DataFrame":
+    """SimHash (Charikar 2002) fingerprints: (id_col, fp:long). (dedup op)
+
+    Relational formulation (scales as one explode + one groupBy with `bits`
+    small aggregates, all codegen'd): bit j of fp is 1 iff
+    Σ_tokens (2·bit_j(h)−1) > 0, h = `bits`-bit token hash. Rows whose token
+    array is empty produce no fingerprint (mirrors the SQL-unnest oracle).
+
+    F.shiftright requires a LITERAL shift count, hence the Python loop over
+    bit positions rather than a transform() lambda.
     """
-    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    if hash_fn == "xxhash64":
-        th = lambda t: F.xxhash64(t)  # noqa: E731
-    else:
-        th = lambda t: md5_long(t)  # noqa: E731
-    # per-token contribution vector: for bit j, +1 if set else -1
-    bits = F.sequence(F.lit(0), F.lit(59))
-    contrib = lambda t: F.transform(  # noqa: E731
-        bits,
-        lambda j: (F.shiftright(th(t), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+    tok_hash = (
+        F.xxhash64(F.col("_tok")).bitwiseAND(F.lit((1 << bits) - 1))
+        if hash_fn == "xxhash64"
+        else md5_long(F.col("_tok"))
     )
-    acc = F.aggregate(
-        c,
-        F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
-    )
-    # fold bits into a single bigint: sum of 2^j where acc[j] > 0
-    idx = F.sequence(F.lit(0), F.lit(59))
-    return F.aggregate(
-        F.zip_with(
-            acc,
-            idx,
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda s, v: s + v,
-    )
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_tok")
+    ).select("_id", tok_hash.alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy("_id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select(F.col("_id").alias(id_col), fp.alias("fp"))
 
 
-def hamming64(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two 64-bit fingerprints: popcount(a XOR b)."""
+def hamming64(a: Column | str, b: Column | str, bits: int = 64) -> Column:
+    """Hamming distance between two fingerprints: popcount(a XOR b).
+
+    Literal-shift loop (shiftright requires a literal count)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     x = ca.bitwiseXOR(cb)
-    bits = F.sequence(F.lit(0), F.lit(63))
-    return F.aggregate(
-        F.transform(bits, lambda j: F.shiftright(x, j).bitwiseAND(F.lit(1))),
-        F.lit(0).cast("long"),
-        lambda s, v: s + v,
-    ).cast("int")
+    total = None
+    for j in range(bits):
+        bit = F.shiftright(x, j).bitwiseAND(F.lit(1))
+        total = bit if total is None else total + bit
+    return total.cast("int")

@@ -9,7 +9,11 @@ pandas_udf — the Python loops below iterate over *character positions*
 
 Jaro-Winkler follows Winkler (1990): boost threshold 0.7, prefix cap 4,
 prefix scale 0.1, empty-string similarity 0. Verified numerically identical
-(1e-12) to DuckDB's jaro_winkler_similarity in tests/test_similarity.py.
+(1e-12) to DuckDB's jaro_winkler_similarity in tests/test_similarity.py for
+ASCII inputs. Unicode note: this kernel compares CODEPOINTS (the
+linguistically sensible unit); DuckDB compares UTF-8 BYTES, so the two
+diverge on multi-byte characters — the oracle-checked queries only feed
+normalized [a-z0-9 ] text, where both agree exactly.
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
-from ..functions.minhash import hamming64, lsh_band_keys, minhash_signature, simhash64
+from ..functions.minhash import hamming64, lsh_band_keys, minhash_signature, simhash_table
 from ..functions.normalize import char_shingles, normalize_text, tokenize
 from ..functions.similarity import cosine_native, token_jaccard
 
@@ -115,10 +115,11 @@ def simhash_dup_pairs(
 
     Returns (id1, id2, hamming) with hamming ≤ max_hamming.
     """
-    fp = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash64(tokenize(normalize_text(text_col)), hash_fn).alias("fp"),
+        tokenize(normalize_text(text_col)).alias("toks"),
     )
+    fp = simhash_table(base, "doc_id", "toks", hash_fn)
     width = 60 // n_bands
     bandcols = F.array(
         *[

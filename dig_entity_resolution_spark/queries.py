@@ -1,0 +1,1200 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle-SQL twin.
+
+Design rules that make cross-engine value-hash comparison possible:
+  * every aggregate that can be integer IS integer (sums of counts, cents);
+  * unavoidable doubles are rounded to 6 decimals on BOTH sides;
+  * hashes use the md5→60-bit-bigint construction both engines compute
+    identically (functions.hashing.md5_long);
+  * Spark regexp_replace replaces all matches — DuckDB oracles carry 'g';
+  * no arrays in output columns (exploded to rows instead), so row order and
+    list order never matter.
+
+Each query is a (spark_fn, oracle_sql) pair; oracle_sql is None for ops that
+are not SQL-expressible (driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_long
+from .functions.minhash import hamming64, lsh_band_keys, minhash_signature, simhash_table
+from .functions.normalize import (
+    char_shingles,
+    normalize_text,
+    prefix_key,
+    tokenize,
+    word_ngrams,
+)
+from .functions.similarity import (
+    cosine_native,
+    jaro_winkler,
+    lev_similarity,
+    token_jaccard,
+)
+from .functions.textqc import (
+    LANG_MARKERS,
+    BPE_TOKEN_RE,
+    bottomk_fingerprint,
+    bpe_ish_token_count,
+    lang_id,
+    quality_features,
+    ws_token_count,
+)
+from .operators.ann import brute_force_topk, lsh_topk
+from .operators.cluster import connected_components
+from .operators.scoring import pair_tfidf_cosine, tfidf_terms
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+R6 = 6  # rounding for unavoidable doubles
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the records shape the engine operates on.
+
+    The fixture is a single parquet file (one input split), so repartition
+    right after the scan — otherwise every downstream expression (minhash,
+    simhash, shingling) runs on one core. At real scale the scan itself
+    produces many splits and this repartition coalesces/balances instead.
+    """
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.select(F.col("doc_id").alias("record_id"), "text", "lang")
+        .repartition(par, "record_id")
+        .withColumn("norm_text", normalize_text("text"))
+        .withColumn("tokens", tokenize("norm_text"))
+    )
+
+
+# SQL twins of normalize/tokenize (must mirror functions/normalize.py exactly)
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+SQL_TOKENS = "list_filter(string_split(norm_text, ' '), x -> x <> '')"
+
+
+def _sql_md5long(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_shingles(col: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k})))"
+    )
+
+
+SQL_RECORDS_CTE = f"""
+records AS (
+  SELECT doc_id AS record_id, text, lang,
+         {SQL_NORM} AS norm_text
+  FROM documents
+),
+toks AS (
+  SELECT record_id, norm_text, {SQL_TOKENS} AS tokens
+  FROM records
+)
+"""
+
+# pair blocking shared by the pair queries: word-bigram keys (single tokens
+# are head-of-Zipf at this corpus size — every one exceeds any sane cap),
+# keep keys with 2..20 members
+TOKEN_CAP = 20
+SQL_TOKEN_BLOCKS_CTE = f"""
+gram_rows AS (
+  SELECT record_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i + 1]))) AS tok
+  FROM toks WHERE len(tokens) >= 2
+),
+tok_keys AS (
+  SELECT tok FROM gram_rows
+  GROUP BY tok HAVING count(*) BETWEEN 2 AND {TOKEN_CAP}
+),
+blocked AS (
+  SELECT r.record_id, r.tok FROM gram_rows r JOIN tok_keys USING (tok)
+),
+pairs AS (
+  SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
+  FROM blocked a JOIN blocked b USING (tok)
+  WHERE a.record_id < b.record_id
+)
+"""
+
+
+def _token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark-side candidate pairs: bigram blocking, key size 2..20."""
+    recs = _records(spark, sf_dir)
+    toks = recs.filter(F.size("tokens") >= 2).select(
+        "record_id", F.explode(word_ngrams("tokens", 2)).alias("tok")
+    )
+    keys = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= TOKEN_CAP))
+        .select("tok")
+    )
+    blocked = toks.join(F.broadcast(keys), "tok")
+    a = blocked.select("tok", F.col("record_id").alias("id1"))
+    b = blocked.select("tok", F.col("record_id").alias("id2"))
+    return (
+        a.join(b, "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def _pairs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = _records(spark, sf_dir)
+    pairs = _token_pairs(spark, sf_dir)
+    r1 = recs.select(
+        F.col("record_id").alias("id1"),
+        F.col("norm_text").alias("t1"),
+        F.col("tokens").alias("tk1"),
+    )
+    r2 = recs.select(
+        F.col("record_id").alias("id2"),
+        F.col("norm_text").alias("t2"),
+        F.col("tokens").alias("tk2"),
+    )
+    return pairs.join(r1, "id1").join(r2, "id2")
+
+
+SQL_PAIR_TEXT_CTE = (
+    SQL_RECORDS_CTE
+    + ","
+    + SQL_TOKEN_BLOCKS_CTE
+    + """,
+pair_text AS (
+  SELECT p.id1, p.id2, a.norm_text AS t1, b.norm_text AS t2,
+         ta.tokens AS tk1, tb.tokens AS tk2
+  FROM pairs p
+  JOIN records a ON a.record_id = p.id1
+  JOIN records b ON b.record_id = p.id2
+  JOIN toks ta ON ta.record_id = p.id1
+  JOIN toks tb ON tb.record_id = p.id2
+)
+"""
+)
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# -- B4/B5: normalization + tokenization -----------------------------------
+
+
+@_q(
+    "normalize_tokenize",
+    f"WITH {SQL_RECORDS_CTE} "
+    "SELECT record_id, norm_text, len(tokens)::BIGINT AS n_tokens FROM toks",
+)
+def q_normalize_tokenize(spark, sf_dir):
+    return _records(spark, sf_dir).select(
+        "record_id", "norm_text", F.size("tokens").cast("long").alias("n_tokens")
+    )
+
+
+# -- B6: char shingles -------------------------------------------------------
+
+
+@_q(
+    "char_shingles",
+    f"WITH {SQL_RECORDS_CTE} "
+    f"SELECT record_id, len({_sql_shingles('norm_text', 5)})::BIGINT AS n_shingles "
+    "FROM records",
+)
+def q_char_shingles(spark, sf_dir):
+    return _records(spark, sf_dir).select(
+        "record_id",
+        F.size(char_shingles("norm_text", 5)).cast("long").alias("n_shingles"),
+    )
+
+
+# -- B7/C1: prefix blocking ---------------------------------------------------
+
+
+@_q(
+    "prefix_block_sizes",
+    f"WITH {SQL_RECORDS_CTE} "
+    "SELECT substring(norm_text, 1, 8) AS block_key, count(*)::BIGINT AS n "
+    "FROM records WHERE length(norm_text) > 0 GROUP BY 1",
+)
+def q_prefix_block_sizes(spark, sf_dir):
+    return (
+        _records(spark, sf_dir)
+        .filter(F.length("norm_text") > 0)
+        .groupBy(prefix_key("norm_text", 8).alias("block_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# -- C1/C2/C5: token blocking → candidate pairs ------------------------------
+
+
+@_q(
+    "token_block_stopkeys",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """tok_rows AS (
+      SELECT record_id, unnest(list_distinct(tokens)) AS tok FROM toks
+    )
+    SELECT tok AS block_key, count(*)::BIGINT AS n
+    FROM tok_rows WHERE length(tok) >= 3
+    GROUP BY tok HAVING count(*) <= 400""",
+)
+def q_token_block_stopkeys(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    toks = recs.select(
+        "record_id", F.explode(F.array_distinct("tokens")).alias("block_key")
+    ).filter(F.length("block_key") >= 3)
+    return (
+        toks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") <= 400)
+    )
+
+
+@_q(
+    "candidate_pairs",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE} SELECT id1, id2 FROM pairs",
+)
+def q_candidate_pairs(spark, sf_dir):
+    return _token_pairs(spark, sf_dir)
+
+
+# -- C3: per-block top-N cap ---------------------------------------------------
+
+
+@_q(
+    "block_topn_cap",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """tok_rows AS (
+      SELECT record_id, unnest(list_distinct(tokens)) AS tok FROM toks
+      ),
+    ranked AS (
+      SELECT tok AS block_key, record_id,
+             row_number() OVER (PARTITION BY tok ORDER BY record_id) AS rn
+      FROM tok_rows WHERE length(tok) >= 3
+    )
+    SELECT block_key, record_id FROM ranked WHERE rn <= 5""",
+)
+def q_block_topn_cap(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    toks = recs.select(
+        "record_id", F.explode(F.array_distinct("tokens")).alias("block_key")
+    ).filter(F.length("block_key") >= 3)
+    w = Window.partitionBy("block_key").orderBy("record_id")
+    return (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("block_key", "record_id")
+    )
+
+
+# -- D2: Levenshtein -----------------------------------------------------------
+
+
+@_q(
+    "pairs_levenshtein",
+    f"WITH {SQL_PAIR_TEXT_CTE} "
+    "SELECT id1, id2, levenshtein(t1, t2)::BIGINT AS lev, "
+    "round(1.0 - levenshtein(t1, t2)::DOUBLE / greatest(length(t1), length(t2), 1), 6)"
+    " AS lev_sim FROM pair_text",
+)
+def q_pairs_levenshtein(spark, sf_dir):
+    return _pairs_with_text(spark, sf_dir).select(
+        "id1",
+        "id2",
+        F.levenshtein("t1", "t2").cast("long").alias("lev"),
+        F.round(
+            1.0
+            - F.levenshtein("t1", "t2")
+            / F.greatest(F.length("t1"), F.length("t2"), F.lit(1)).cast("double"),
+            R6,
+        ).alias("lev_sim"),
+    )
+
+
+# -- D3: Jaro-Winkler (Arrow-vectorized numpy kernel) --------------------------
+
+
+@_q(
+    "pairs_jaro_winkler",
+    f"WITH {SQL_PAIR_TEXT_CTE} "
+    "SELECT id1, id2, round(jaro_winkler_similarity(t1, t2), 6) AS jw FROM pair_text",
+)
+def q_pairs_jaro_winkler(spark, sf_dir):
+    return _pairs_with_text(spark, sf_dir).select(
+        "id1", "id2", F.round(jaro_winkler("t1", "t2"), R6).alias("jw")
+    )
+
+
+# -- D4: token Jaccard ----------------------------------------------------------
+
+
+@_q(
+    "pairs_token_jaccard",
+    f"WITH {SQL_PAIR_TEXT_CTE} "
+    "SELECT id1, id2, round("
+    " len(list_intersect(list_distinct(tk1), list_distinct(tk2)))::DOUBLE /"
+    " len(list_distinct(list_concat(tk1, tk2))), 6) AS jaccard FROM pair_text",
+)
+def q_pairs_token_jaccard(spark, sf_dir):
+    return _pairs_with_text(spark, sf_dir).select(
+        "id1", "id2", F.round(token_jaccard("tk1", "tk2"), R6).alias("jaccard")
+    )
+
+
+# -- D5: TF-IDF ------------------------------------------------------------------
+
+
+SQL_TFIDF_CTE = (
+    SQL_RECORDS_CTE
+    + """,
+term_rows AS (
+  SELECT record_id, unnest(tokens) AS term FROM toks
+),
+tf AS (
+  SELECT record_id, term, count(*)::BIGINT AS tf
+  FROM term_rows GROUP BY record_id, term
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT record_id)::BIGINT AS n_docs FROM records),
+tfidf AS (
+  SELECT tf.record_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+"""
+)
+
+
+@_q(
+    "tfidf_top_terms",
+    f"WITH {SQL_TFIDF_CTE}, "
+    """ranked AS (
+      SELECT record_id, term, weight,
+             row_number() OVER (PARTITION BY record_id
+                                ORDER BY weight DESC, term) AS rn
+      FROM tfidf
+    )
+    SELECT record_id, term, round(weight, 6) AS weight, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= 3""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    tfidf = tfidf_terms(recs)
+    w = Window.partitionBy("record_id").orderBy(F.col("weight").desc(), F.col("term"))
+    return (
+        tfidf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "record_id",
+            "term",
+            F.round("weight", R6).alias("weight"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@_q(
+    "pairs_tfidf_cosine",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    + """
+term_rows AS (
+  SELECT record_id, unnest(tokens) AS term FROM toks
+),
+tf AS (
+  SELECT record_id, term, count(*)::BIGINT AS tf
+  FROM term_rows GROUP BY record_id, term
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT record_id)::BIGINT AS n_docs FROM records),
+tfidf AS (
+  SELECT tf.record_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT record_id, sqrt(sum(weight * weight)) AS nrm FROM tfidf GROUP BY record_id
+),
+dots AS (
+  SELECT p.id1, p.id2, sum(a.weight * b.weight) AS dot
+  FROM pairs p
+  JOIN tfidf a ON a.record_id = p.id1
+  JOIN tfidf b ON b.record_id = p.id2 AND b.term = a.term
+  GROUP BY p.id1, p.id2
+)
+SELECT p.id1, p.id2,
+       round(CASE WHEN n1.nrm > 0 AND n2.nrm > 0
+             THEN coalesce(d.dot, 0) / (n1.nrm * n2.nrm) ELSE 0 END, 6)
+       AS tfidf_cos
+FROM pairs p
+LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+JOIN norms n1 ON n1.record_id = p.id1
+JOIN norms n2 ON n2.record_id = p.id2""",
+)
+def q_pairs_tfidf_cosine(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    pairs = _token_pairs(spark, sf_dir)
+    tfidf = tfidf_terms(recs)
+    return pair_tfidf_cosine(pairs, tfidf).select(
+        "id1", "id2", F.round("tfidf_cos", R6).alias("tfidf_cos")
+    )
+
+
+# -- B9/B10/B11: MinHash + LSH (md5 family — oracle-exact) -----------------------
+
+
+_NUM_PERM = 8
+_BANDS = 4
+_ROWS = _NUM_PERM // _BANDS
+
+
+def _sql_minhash_cte(k: int = 5) -> str:
+    sig_exprs = ",\n         ".join(
+        "list_aggregate(list_transform(shingles, s -> "
+        + _sql_md5long(f"'{i}:' || s")
+        + f"), 'min') AS sig{i}"
+        for i in range(_NUM_PERM)
+    )
+    band_exprs = ",\n         ".join(
+        _sql_md5long(
+            f"'band{b}|' || sig{b * _ROWS}::VARCHAR || '|' || sig{b * _ROWS + 1}::VARCHAR"
+        )
+        + f" AS band{b}"
+        for b in range(_BANDS)
+    )
+    return (
+        SQL_RECORDS_CTE
+        + f""",
+shingled AS (
+  SELECT record_id, {_sql_shingles('norm_text', k)} AS shingles
+  FROM records WHERE length(norm_text) > 0
+),
+sigs AS (
+  SELECT record_id,
+         {sig_exprs}
+  FROM shingled
+),
+bands AS (
+  SELECT record_id,
+         {band_exprs}
+  FROM sigs
+)
+"""
+    )
+
+
+@_q(
+    "minhash_signatures",
+    f"WITH {_sql_minhash_cte()} "
+    "SELECT record_id, "
+    + ", ".join(f"sig{i}" for i in range(_NUM_PERM))
+    + " FROM sigs",
+)
+def q_minhash_signatures(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    sig = recs.select(
+        "record_id",
+        minhash_signature(char_shingles("norm_text", 5), _NUM_PERM, "md5").alias("sig"),
+    )
+    return sig.select(
+        "record_id",
+        *[F.element_at("sig", i + 1).alias(f"sig{i}") for i in range(_NUM_PERM)],
+    )
+
+
+@_q(
+    "lsh_band_buckets",
+    f"WITH {_sql_minhash_cte()}, "
+    "unpivoted AS ("
+    + " UNION ALL ".join(
+        f"SELECT record_id, {b}::INT AS band_id, band{b} AS band_hash FROM bands"
+        for b in range(_BANDS)
+    )
+    + ") SELECT record_id, band_id, band_hash FROM unpivoted",
+)
+def q_lsh_band_buckets(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    sig = recs.select(
+        "record_id",
+        minhash_signature(char_shingles("norm_text", 5), _NUM_PERM, "md5").alias("sig"),
+    )
+    return sig.select(
+        "record_id",
+        F.explode(lsh_band_keys("sig", _BANDS, _ROWS, "md5")).alias("b"),
+    ).select(
+        "record_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+@_q(
+    "minhash_lsh_dup_pairs",
+    f"WITH {_sql_minhash_cte()}, "
+    "unpivoted AS ("
+    + " UNION ALL ".join(
+        f"SELECT record_id, band{b} AS band_hash, {b} AS band_id FROM bands"
+        for b in range(_BANDS)
+    )
+    + """),
+cand AS (
+  SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
+  FROM unpivoted a JOIN unpivoted b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.record_id < b.record_id
+)
+SELECT c.id1, c.id2,
+       round(len(list_intersect(s1.shingles, s2.shingles))::DOUBLE /
+             len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+       AS jaccard
+FROM cand c
+JOIN shingled s1 ON s1.record_id = c.id1
+JOIN shingled s2 ON s2.record_id = c.id2""",
+)
+def q_minhash_lsh_dup_pairs(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    base = recs.select(
+        "record_id", char_shingles("norm_text", 5).alias("shingles")
+    )
+    sig = base.withColumn(
+        "sig", minhash_signature("shingles", _NUM_PERM, "md5")
+    )
+    buckets = sig.select(
+        "record_id",
+        "shingles",
+        F.explode(lsh_band_keys("sig", _BANDS, _ROWS, "md5")).alias("b"),
+    )
+    a = buckets.select(
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+        F.col("record_id").alias("id1"),
+        F.col("shingles").alias("sh1"),
+    )
+    b = buckets.select(
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+        F.col("record_id").alias("id2"),
+        F.col("shingles").alias("sh2"),
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1", "id2", F.round(token_jaccard("sh1", "sh2"), R6).alias("jaccard")
+    )
+
+
+# -- exact dedup -------------------------------------------------------------------
+
+
+@_q(
+    "exact_dedup",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """keyed AS (
+      SELECT record_id, md5(norm_text) AS content_key FROM records
+    ),
+    grp AS (
+      SELECT content_key, count(*)::BIGINT AS group_size,
+             min(record_id) AS canonical_id
+      FROM keyed GROUP BY content_key
+    )
+    SELECT k.content_key, k.record_id, g.group_size,
+           (k.record_id = g.canonical_id) AS is_canonical
+    FROM keyed k JOIN grp g USING (content_key)""",
+)
+def q_exact_dedup(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    keyed = recs.select("record_id", F.md5("norm_text").alias("content_key"))
+    grp = keyed.groupBy("content_key").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("record_id").alias("canonical_id"),
+    )
+    return keyed.join(grp, "content_key").select(
+        "content_key",
+        "record_id",
+        "group_size",
+        (F.col("record_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# -- SimHash ------------------------------------------------------------------------
+
+
+def _sql_simhash_cte() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(60)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(60)
+    )
+    return (
+        SQL_RECORDS_CTE
+        + f""",
+tok_rows AS (
+  SELECT record_id, unnest(tokens) AS tok FROM toks WHERE len(tokens) > 0
+),
+hashed AS (
+  SELECT record_id, {_sql_md5long('tok')} AS h FROM tok_rows
+),
+bitsums AS (
+  SELECT record_id,
+       {sums}
+  FROM hashed GROUP BY record_id
+),
+fps AS (
+  SELECT record_id, {fold} AS fp FROM bitsums
+)
+"""
+    )
+
+
+@_q(
+    "simhash_fingerprints",
+    f"WITH {_sql_simhash_cte()} SELECT record_id, fp FROM fps",
+)
+def q_simhash_fingerprints(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.size("tokens") > 0)
+    return simhash_table(recs, "record_id", "tokens", "md5")
+
+
+@_q(
+    "simhash_hamming_pairs",
+    f"WITH {_sql_simhash_cte()}, "
+    """prefixed AS (
+      SELECT f.record_id, f.fp, substring(r.norm_text, 1, 4) AS bkey
+      FROM fps f JOIN records r USING (record_id)
+    ),
+    cand AS (
+      SELECT a.record_id AS id1, b.record_id AS id2, a.fp AS fp1, b.fp AS fp2
+      FROM prefixed a JOIN prefixed b USING (bkey)
+      WHERE a.record_id < b.record_id
+    )
+    SELECT id1, id2, bit_count(xor(fp1, fp2))::INT AS hamming
+    FROM cand WHERE bit_count(xor(fp1, fp2)) <= 26""",
+)
+def q_simhash_hamming_pairs(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.size("tokens") > 0)
+    fp = simhash_table(recs, "record_id", "tokens", "md5").join(
+        recs.select("record_id", F.substring("norm_text", 1, 4).alias("bkey")),
+        "record_id",
+    )
+    a = fp.select("bkey", F.col("record_id").alias("id1"), F.col("fp").alias("fp1"))
+    b = fp.select("bkey", F.col("record_id").alias("id2"), F.col("fp").alias("fp2"))
+    cand = a.join(b, "bkey").filter(F.col("id1") < F.col("id2"))
+    return cand.select(
+        "id1", "id2", hamming64("fp1", "fp2").alias("hamming")
+    ).filter(F.col("hamming") <= 26)
+
+
+# -- n-gram Jaccard dedup --------------------------------------------------------------
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"WITH {SQL_RECORDS_CTE}, "
+    f"""grams AS (
+      SELECT record_id, substring(norm_text, 1, 6) AS bkey,
+             {_sql_shingles('norm_text', 3)} AS g
+      FROM records WHERE length(norm_text) > 0
+    ),
+    cand AS (
+      SELECT a.record_id AS id1, b.record_id AS id2, a.g AS g1, b.g AS g2
+      FROM grams a JOIN grams b USING (bkey)
+      WHERE a.record_id < b.record_id
+    )
+    SELECT id1, id2,
+           round(len(list_intersect(g1, g2))::DOUBLE /
+                 len(list_distinct(list_concat(g1, g2))), 6) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(g1, g2))::DOUBLE /
+          len(list_distinct(list_concat(g1, g2))) >= 0.3""",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    grams = recs.select(
+        "record_id",
+        F.substring("norm_text", 1, 6).alias("bkey"),
+        char_shingles("norm_text", 3).alias("g"),
+    )
+    a = grams.select("bkey", F.col("record_id").alias("id1"), F.col("g").alias("g1"))
+    b = grams.select("bkey", F.col("record_id").alias("id2"), F.col("g").alias("g2"))
+    cand = a.join(b, "bkey").filter(F.col("id1") < F.col("id2"))
+    jac = token_jaccard("g1", "g2")
+    # filter on the raw (unrounded) value — int/int division is identical in
+    # both engines, so the filtered sets agree exactly
+    return cand.select(
+        "id1", "id2", F.round(jac, R6).alias("jaccard"), jac.alias("_raw")
+    ).filter(F.col("_raw") >= 0.3).drop("_raw")
+
+
+# -- embeddings: brute-force + LSH ANN -----------------------------------------------
+
+
+@_q(
+    "embedding_topk",
+    """WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             AS cos
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3""",
+)
+def q_embedding_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb, "vec_id", "embedding", k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", R6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_sign_bucket(col: str, bits: int) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return parts
+
+
+@_q(
+    "embedding_ann_lsh",
+    f"""WITH b AS (
+      SELECT vec_id, embedding, {_sql_sign_bucket('embedding', 6)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             AS cos
+      FROM b q JOIN b c USING (bucket)
+      WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3""",
+)
+def q_embedding_ann_lsh(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, emb, "vec_id", "embedding", k=3, bits=6, multiprobe=False)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", R6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# -- text analysis ----------------------------------------------------------------------
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lang, words in LANG_MARKERS:
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_intersect(tokens, [{lst}])) AS s_{lang}"
+        )
+    scores = ",\n         ".join(score_exprs)
+    langs_rev = [lang for lang, _ in reversed(LANG_MARKERS)]
+    case = "CASE WHEN greatest(" + ", ".join(
+        f"s_{l}" for l, _ in LANG_MARKERS
+    ) + ") = 0 THEN 'und' "
+    g = "greatest(" + ", ".join(f"s_{l}" for l, _ in LANG_MARKERS) + ")"
+    for l in langs_rev:
+        case += f"WHEN s_{l} = {g} THEN '{l}' "
+    case += "END"
+    return (
+        f"WITH {SQL_RECORDS_CTE}, scored AS (SELECT record_id,\n         {scores}\n"
+        f"  FROM toks) SELECT record_id, {case} AS lang_pred FROM scored"
+    )
+
+
+@_q("lang_id", _sql_lang_id())
+def q_lang_id(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    return recs.select("record_id", lang_id("tokens").alias("lang_pred"))
+
+
+@_q(
+    "quality_scores",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """q AS (
+      SELECT record_id, text,
+             length(text)::BIGINT AS n_chars,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS qtoks
+      FROM records
+    )
+    SELECT record_id, n_chars,
+           len(qtoks)::BIGINT AS n_ws_tokens,
+           round(CASE WHEN len(qtoks) > 0 THEN
+             list_sum(list_transform(qtoks, t -> length(t)))::DOUBLE / len(qtoks)
+             ELSE 0 END, 6) AS mean_token_len,
+           round(CASE WHEN n_chars > 0 THEN
+             (n_chars - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n]', '', 'g')))::DOUBLE
+             / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(qtoks) > 0 THEN
+             len(list_filter(qtoks, t -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'], t)))::DOUBLE
+             / len(qtoks) ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN len(qtoks) > 0 THEN
+             len(list_distinct(qtoks))::DOUBLE / len(qtoks) ELSE 0 END, 6)
+             AS uniq_token_ratio
+    FROM q""",
+)
+def q_quality_scores(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    return d.select(
+        F.col("doc_id").alias("record_id"),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_ws_tokens"].alias("n_ws_tokens"),
+        F.round(feats["mean_token_len"], R6).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], R6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], R6).alias("stopword_ratio"),
+        F.round(feats["uniq_token_ratio"], R6).alias("uniq_token_ratio"),
+    )
+
+
+@_q(
+    "token_counts",
+    "SELECT doc_id AS record_id, "
+    "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT"
+    " AS n_ws_tokens, "
+    f"len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens "
+    "FROM documents",
+)
+def q_token_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").alias("record_id"),
+        ws_token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    f"WITH {SQL_RECORDS_CTE}, "
+    f"""fp AS (
+      SELECT record_id,
+             list_sort(list_transform({_sql_shingles('norm_text', 5)},
+                       s -> {_sql_md5long('s')}))[1:4] AS mins
+      FROM records WHERE length(norm_text) > 0
+    )
+    SELECT record_id, unnest(mins) AS min_hash FROM fp""",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    return recs.select(
+        "record_id",
+        F.explode(bottomk_fingerprint(char_shingles("norm_text", 5), 4)).alias(
+            "min_hash"
+        ),
+    )
+
+
+# -- E2–E5: connected components --------------------------------------------------------
+
+
+_CC_SHARED_GRAMS = 2
+
+
+@_q(
+    "connected_components",
+    f"WITH RECURSIVE {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    f"""
+    shared AS (
+      SELECT a.record_id AS id1, b.record_id AS id2, count(*)::BIGINT AS shared
+      FROM blocked a JOIN blocked b USING (tok)
+      WHERE a.record_id < b.record_id
+      GROUP BY a.record_id, b.record_id
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM shared WHERE shared >= {_CC_SHARED_GRAMS}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    cc(n, c) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT sym.dst, cc.c FROM cc JOIN sym ON cc.n = sym.src WHERE cc.c < sym.dst
+    ),
+    assign AS (SELECT n AS record_id, min(c) AS cluster_id FROM cc GROUP BY n)
+    SELECT r.record_id, coalesce(a.cluster_id, r.record_id) AS cluster_id
+    FROM records r LEFT JOIN assign a USING (record_id)""",
+)
+def q_connected_components(spark, sf_dir):
+    recs = _records(spark, sf_dir)
+    toks = recs.filter(F.size("tokens") >= 2).select(
+        "record_id", F.explode(word_ngrams("tokens", 2)).alias("tok")
+    )
+    keys = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= TOKEN_CAP))
+        .select("tok")
+    )
+    blocked = toks.join(F.broadcast(keys), "tok")
+    a = blocked.select("tok", F.col("record_id").alias("id1"))
+    b = blocked.select("tok", F.col("record_id").alias("id2"))
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    edges = shared.filter(F.col("shared") >= _CC_SHARED_GRAMS).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    assign = connected_components(edges)
+    return (
+        recs.select("record_id")
+        .join(assign, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )
+
+
+# -- F-group over TPC-H-ish tables --------------------------------------------------------
+
+
+@_q(
+    "tpch_q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS sum_disc_cents,
+       count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1_agg(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "orders_topn_window",
+    """WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           rn::BIGINT AS rn
+    FROM ranked WHERE rn <= 2""",
+)
+def q_orders_topn_window(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@_q(
+    "docs_rollup",
+    "SELECT lang, source, count(*)::BIGINT AS n FROM documents "
+    "GROUP BY ROLLUP(lang, source)",
+)
+def q_docs_rollup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.rollup("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "customer_semi_anti_orders",
+    """SELECT c_nationkey,
+       count(*) FILTER (WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT
+         AS n_with_orders,
+       count(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT
+         AS n_without_orders
+    FROM customer c GROUP BY c_nationkey""",
+)
+def q_customer_semi_anti_orders(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    nations = c.select("c_nationkey").distinct()
+    return (
+        nations.join(semi, "c_nationkey", "left")
+        .join(anti, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, session_no""",
+)
+def q_events_sessionize(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "events_json_extract",
+    """SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+       AS sum_k, count(*)::BIGINT AS n
+    FROM events GROUP BY event_type""",
+)
+def q_events_json_extract(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# rows-only (no SQL twin): approximate distinct — nondeterministic across engines
+@_q("events_approx_users", None)
+def q_events_approx_users(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public registry accessors
+# ---------------------------------------------------------------------------
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: spec[1] for name, spec in _REGISTRY.items() if spec[1] is not None}

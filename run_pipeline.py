@@ -1,0 +1,67 @@
+"""spark-submit entry point for the ER pipeline.
+
+Cluster launch (the contract's submission mode [BASELINE.json:6]):
+
+    zip -r er_engine.zip dig_entity_resolution_spark
+    spark-submit --py-files er_engine.zip run_pipeline.py \
+        --input /path/pages_parquet --warehouse /path/wh --run-id R1 \
+        [--resume] [--labels /path/labels.parquet] [--use-extractor]
+
+Local sandbox run uses the same file (master defaults to local[*]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+from dig_entity_resolution_spark.session import build_session
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="pages parquet path/table")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--labels", help="url-keyed labels parquet for F1 report")
+    p.add_argument("--use-extractor", action="store_true",
+                   help="derive text from html (byte-identical extractor)")
+    p.add_argument("--threshold", type=float, default=0.80)
+    p.add_argument("--max-block-size", type=int, default=100)
+    p.add_argument("--block-top-n", type=int, default=50)
+    p.add_argument("--n-salts", type=int, default=16)
+    args = p.parse_args(argv)
+
+    spark = build_session(app_name=f"er-pipeline-{args.run_id}")
+    cfg = ERConfig(
+        threshold=args.threshold,
+        max_block_size=args.max_block_size,
+        block_top_n=args.block_top_n,
+        n_salts=args.n_salts,
+        use_extractor=args.use_extractor,
+    )
+    pipe = ERPipeline(spark, args.warehouse, args.run_id, cfg)
+    pages = spark.read.parquet(args.input)
+    clusters = pipe.run(pages, resume=args.resume)
+    report = {
+        "run_id": args.run_id,
+        "resumed": args.resume,
+        "computed_stages": pipe.computed_stages,
+        "counters": pipe.ckpt.counters(),
+        "n_clusters": clusters.select("cluster_id").distinct().count(),
+    }
+    if args.labels:
+        labels = spark.read.parquet(args.labels)
+        prf = pipe.evaluate(clusters, labels).collect()[0]
+        report["eval"] = {k: float(prf[k]) for k in ("precision", "recall", "f1")}
+        report["eval"].update({k: int(prf[k]) for k in ("tp", "fp", "fn")})
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

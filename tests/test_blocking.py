@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.functions.normalize import normalize_text, tokenize
+from dig_entity_resolution_spark.operators.blocking import (
+    all_blocks,
+    candidate_pairs,
+    cap_block_size,
+    salt_blocks,
+    suppress_stop_keys,
+    token_blocks,
+)
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta delta"),
+        (3, "alpha epsilon zeta"),
+        (4, "omega psi chi"),
+        (5, "omega psi chi"),
+        (6, "unique singleton doc"),
+    ]
+    df = spark.createDataFrame(rows, ["record_id", "text"])
+    return (
+        df.withColumn("norm_text", normalize_text("text"))
+        .withColumn("tokens", tokenize("norm_text"))
+        .withColumn("url", F.concat(F.lit("u"), F.col("record_id")))
+        .withColumn("lang", F.lit("en"))
+    )
+
+
+def test_token_blocks_min_len(records):
+    blocks = token_blocks(records, min_token_len=5)
+    keys = {r.block_key for r in blocks.collect()}
+    assert "alpha" in keys and "beta" not in keys  # len 4 dropped
+
+
+def test_stop_key_suppression(records):
+    blocks = token_blocks(records)
+    kept = suppress_stop_keys(blocks, max_block_size=2)
+    sizes = kept.groupBy("block_key").count().collect()
+    assert all(r["count"] <= 2 for r in sizes)
+    assert "alpha" not in {r.block_key for r in kept.collect()}  # size 3 > 2
+
+
+def test_cap_block_size_deterministic(records):
+    blocks = token_blocks(records)
+    capped = cap_block_size(blocks, top_n=2)
+    alpha = sorted(
+        r.record_id for r in capped.filter(F.col("block_key") == "alpha").collect()
+    )
+    assert alpha == [1, 2]  # lowest record_ids kept
+
+
+def test_salting_preserves_pairs(records):
+    blocks = token_blocks(records)
+    plain = {(r.id1, r.id2) for r in candidate_pairs(blocks).collect()}
+    salted = salt_blocks(blocks.withColumn("strategy", F.lit("token")), 8)
+    with_salt = {(r.id1, r.id2) for r in candidate_pairs(salted).collect()}
+    assert plain == with_salt  # the pair join keys on block_key only
+
+
+def test_candidate_pairs_no_self_or_dup(records):
+    pairs = candidate_pairs(token_blocks(records)).collect()
+    seen = set()
+    for r in pairs:
+        assert r.id1 < r.id2
+        assert (r.id1, r.id2) not in seen
+        seen.add((r.id1, r.id2))
+    assert (1, 2) in seen and (4, 5) in seen
+
+
+def test_pair_explosion_bounded(spark):
+    """A pathological block (same token everywhere) cannot exceed cap² pairs
+    once C2/C3 run first — SURVEY.md §7 risk 4."""
+    rows = [(i, "hot common words") for i in range(200)]
+    df = spark.createDataFrame(rows, ["record_id", "text"])
+    recs = (
+        df.withColumn("norm_text", normalize_text("text"))
+        .withColumn("tokens", tokenize("norm_text"))
+        .withColumn("url", F.concat(F.lit("u"), F.col("record_id")))
+        .withColumn("lang", F.lit("en"))
+    )
+    blocks = cap_block_size(
+        suppress_stop_keys(token_blocks(recs), max_block_size=500), top_n=10
+    )
+    n = candidate_pairs(blocks).count()
+    assert n <= 10 * 9 / 2 * 3  # ≤ C(10,2) per surviving block, 3 blocks
+
+
+def test_all_blocks_strategies(records):
+    blocks = all_blocks(records, strategies=("token", "prefix", "minhash_lsh"))
+    strats = {r.strategy for r in blocks.select("strategy").distinct().collect()}
+    assert strats == {"token", "prefix", "minhash_lsh"}
+    # exact duplicates (4,5) must share every minhash band
+    mh = blocks.filter(F.col("strategy") == "minhash_lsh")
+    b4 = {r.block_key for r in mh.filter(F.col("record_id") == 4).collect()}
+    b5 = {r.block_key for r in mh.filter(F.col("record_id") == 5).collect()}
+    assert b4 == b5 and len(b4) > 0

@@ -1,0 +1,76 @@
+"""Connected components vs a pure-Python union-find oracle on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dig_entity_resolution_spark.operators.cluster import (
+    cc_propagate,
+    connected_components,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node → min node of component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def _random_graph(seed, n_nodes=60, n_edges=50):
+    rng = random.Random(seed)
+    nodes = rng.sample(range(1, 10_000), n_nodes)
+    edges = []
+    for _ in range(n_edges):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    return nodes, edges
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_connected_components_matches_union_find(spark, seed):
+    nodes, edges = _random_graph(seed)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.record_id: r.cluster_id for r in connected_components(edf).collect()
+    }
+    touched = sorted({x for e in edges for x in e})
+    expect = _union_find(edges, touched)
+    assert got == {n: expect[n] for n in touched}
+
+
+def test_cc_propagate_agrees(spark):
+    nodes, edges = _random_graph(9, n_nodes=40, n_edges=35)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.record_id: r.cluster_id for r in connected_components(edf).collect()}
+    b = {r.record_id: r.cluster_id for r in cc_propagate(edf).collect()}
+    assert a == b
+
+
+def test_cc_chain_and_selfloop(spark):
+    # long chain (worst case for propagation) + self loop + duplicate edges
+    edges = [(i, i + 1) for i in range(1, 15)] + [(5, 5), (1, 2), (2, 1)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.record_id: r.cluster_id for r in connected_components(edf).collect()}
+    assert set(got.values()) == {1}
+    assert set(got) == set(range(1, 16))
+
+
+def test_cc_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edf).count() == 0

@@ -1,0 +1,80 @@
+"""End-to-end golden-cluster tests (SURVEY.md §5.3/5.5): planted clusters →
+F1 ≥ 0.99, resume semantics, skew armor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+from dig_entity_resolution_spark.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return generate_corpus(
+        str(d), n_clusters=20, cluster_size=3, n_singletons=80, seed=42
+    )
+
+
+def test_e2e_f1(spark, corpus, tmp_path):
+    pages = spark.read.parquet(corpus["pages"])
+    pipe = ERPipeline(spark, str(tmp_path / "wh"), "t1", ERConfig())
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(corpus["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+    # every page got exactly one cluster assignment
+    assert clusters.count() == pages.count()
+    assert clusters.select("record_id").distinct().count() == pages.count()
+
+
+def test_resume_identical_and_no_recompute(spark, corpus, tmp_path):
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "wh")
+    pipe = ERPipeline(spark, wh, "r", ERConfig())
+    full = pipe.run(pages)
+    full_rows = sorted((r.record_id, r.cluster_id) for r in full.collect())
+    # simulate a crash after cand_pairs
+    for s in ("scored_pairs", "edges", "clusters"):
+        pipe.ckpt.invalidate(s)
+    pipe2 = ERPipeline(spark, wh, "r", ERConfig())
+    resumed = pipe2.run(pages, resume=True)
+    assert pipe2.computed_stages == ["scored_pairs", "edges", "clusters"]
+    assert sorted((r.record_id, r.cluster_id) for r in resumed.collect()) == full_rows
+
+
+def test_byte_identity_invariant(spark, corpus):
+    from dig_entity_resolution_spark.extract import extract_text_col
+
+    pages = spark.read.parquet(corpus["pages"])
+    assert pages.filter(extract_text_col("html") != F.col("text")).count() == 0
+
+
+def test_skew_corpus_still_correct(spark, tmp_path):
+    paths = generate_corpus(
+        str(tmp_path / "skew"),
+        n_clusters=10,
+        cluster_size=3,
+        n_singletons=60,
+        seed=7,
+        skew_token="hotword",
+        skew_frac=0.3,
+    )
+    pages = spark.read.parquet(paths["pages"])
+    pipe = ERPipeline(spark, str(tmp_path / "wh2"), "s", ERConfig())
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(paths["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+
+
+def test_generator_deterministic(tmp_path):
+    import pyarrow.parquet as pq
+
+    a = generate_corpus(str(tmp_path / "a"), n_clusters=5, n_singletons=10, seed=3)
+    b = generate_corpus(str(tmp_path / "b"), n_clusters=5, n_singletons=10, seed=3)
+    ta = pq.read_table(a["pages"]).to_pydict()
+    tb = pq.read_table(b["pages"]).to_pydict()
+    assert ta == tb

@@ -1,0 +1,170 @@
+"""Similarity kernels vs DuckDB scalar oracles (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from dig_entity_resolution_spark.functions.similarity import (
+    cosine_batch,
+    jaro_winkler_batch,
+)
+
+
+def _random_pairs(n: int, seed: int = 7) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    alph = "abcdefg "
+    pairs = []
+    for _ in range(n):
+        la, lb = rng.randint(0, 14), rng.randint(0, 14)
+        a = "".join(rng.choice(alph) for _ in range(la))
+        b = "".join(rng.choice(alph) for _ in range(lb))
+        if rng.random() < 0.3:
+            b = a[: max(0, la - 2)] + b[:2]
+        pairs.append((a, b))
+    return pairs
+
+
+KNOWN = [
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("jellyfish", "smellyfish"),
+    ("a", "a"),
+    ("", ""),
+    ("", "abc"),
+    ("ab", "ba"),
+    ("duane", "dwayne"),
+    ("prefix_same_long", "prefix_same_lonk"),
+    ("ab", "abzzzzzzzzzz"),  # boost applies (jaro > 0.7)
+    ("abqqqqqq", "abzzzzzz"),  # boost must NOT apply (jaro = 0.5)
+]
+
+
+def test_jaro_winkler_matches_duckdb_exactly():
+    pairs = _random_pairs(2000) + KNOWN
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    ours = jaro_winkler_batch(df.a, df.b)
+    con = duckdb.connect()
+    theirs = np.array(
+        [
+            con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs
+        ]
+    )
+    assert np.abs(ours - theirs).max() <= 1e-12
+
+
+def test_jaro_winkler_bounds_and_identity():
+    pairs = _random_pairs(500, seed=11)
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    vals = jaro_winkler_batch(df.a, df.b)
+    assert ((vals >= 0) & (vals <= 1)).all()
+    same = pd.Series([p[0] for p in pairs if p[0]])
+    assert (jaro_winkler_batch(same, same) == 1.0).all()
+
+
+def _jw_reference(s1: str, s2: str) -> float:
+    """Pure-Python codepoint Jaro-Winkler (Winkler 1990), the kernel's spec.
+
+    (DuckDB computes over UTF-8 bytes, so it is only an oracle for ASCII.)
+    """
+    if not s1 or not s2:
+        return 0.0
+    l1, l2 = len(s1), len(s2)
+    w = max(max(l1, l2) // 2 - 1, 0)
+    m2 = [False] * l2
+    matched1 = []
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - w), min(l2 - 1, i + w)
+        for j in range(lo, hi + 1):
+            if not m2[j] and s2[j] == c:
+                m2[j] = True
+                matched1.append(c)
+                break
+    m = len(matched1)
+    if m == 0:
+        return 0.0
+    matched2 = [s2[j] for j in range(l2) if m2[j]]
+    t = sum(a != b for a, b in zip(matched1, matched2)) // 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    p = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        p += 1
+    return jaro + p * 0.1 * (1 - jaro) if jaro > 0.7 else jaro
+
+
+def test_jaro_winkler_unicode_codepoint_semantics():
+    pairs = [
+        ("héllo wörld", "héllo wörld"),
+        ("日本語のテキスト", "日本語のテクスト"),
+        ("naïve", "naive"),
+        ("ß", "ss"),
+        ("emoji 😀 test", "emoji 😀 tset"),
+    ]
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    vals = jaro_winkler_batch(a, b)
+    expect = np.array([_jw_reference(x, y) for x, y in pairs])
+    assert np.abs(vals - expect).max() <= 1e-12
+
+
+def test_jw_reference_agrees_with_kernel_on_random():
+    pairs = _random_pairs(300, seed=23)
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    vals = jaro_winkler_batch(df.a, df.b)
+    expect = np.array([_jw_reference(x, y) for x, y in pairs])
+    assert np.abs(vals - expect).max() <= 1e-12
+
+
+def test_cosine_batch_matches_numpy():
+    rng = np.random.default_rng(3)
+    va = rng.normal(size=(300, 32))
+    vb = rng.normal(size=(300, 32))
+    ours = cosine_batch(pd.Series(list(va)), pd.Series(list(vb)))
+    expect = (va * vb).sum(1) / (
+        np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    )
+    assert np.abs(ours - expect).max() < 1e-12
+
+
+def test_cosine_zero_vector():
+    a = pd.Series([[0.0, 0.0], [1.0, 0.0]])
+    b = pd.Series([[1.0, 1.0], [1.0, 0.0]])
+    out = cosine_batch(a, b)
+    assert out[0] == 0.0 and out[1] == pytest.approx(1.0)
+
+
+def test_native_similarities_on_spark(spark):
+    from pyspark.sql import functions as F
+
+    from dig_entity_resolution_spark.functions.similarity import (
+        cosine_native,
+        jaro_winkler,
+        lev_similarity,
+        token_jaccard,
+    )
+
+    df = spark.createDataFrame(
+        [("kitten", "sitting", ["a", "b"], ["b", "c"], [1.0, 2.0], [2.0, 4.0])],
+        ["s1", "s2", "t1", "t2", "v1", "v2"],
+    )
+    row = df.select(
+        lev_similarity("s1", "s2").alias("lev"),
+        token_jaccard("t1", "t2").alias("jac"),
+        cosine_native("v1", "v2").alias("cos"),
+        jaro_winkler("s1", "s2").alias("jw"),
+    ).collect()[0]
+    assert row.lev == pytest.approx(1 - 3 / 7)
+    assert row.jac == pytest.approx(1 / 3)
+    assert row.cos == pytest.approx(1.0)
+    con = duckdb.connect()
+    expect_jw = con.execute(
+        "select jaro_winkler_similarity('kitten','sitting')"
+    ).fetchone()[0]
+    assert row.jw == pytest.approx(expect_jw, abs=1e-12)

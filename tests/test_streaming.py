@@ -1,0 +1,48 @@
+"""Streaming surface: file-source → memory-sink with Trigger.AvailableNow;
+sessionized counts must equal the batch oracle query on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.streaming.incremental import (
+    run_available_now,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    # watermarks require TIMESTAMP (tz-aware); the fixture is TIMESTAMP_NTZ
+    batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(str(d / "in"))
+    schema = batch.schema
+    return spark.readStream.schema(schema).parquet(str(d / "in")), batch
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = run_available_now(windowed_event_counts(stream), "win_counts")
+    expect = (
+        batch.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("w_start"), "n")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_sessionized_stream_equals_batch_query(spark, events_stream):
+    import __spark_entry__ as entrymod
+
+    stream, _ = events_stream
+    got = run_available_now(sessionized_counts(stream), "sess_counts")
+    expect = entrymod.queries()["events_sessionize"](spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
