@@ -28,7 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FAST = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
-CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "bench_corpus")
+# 80k docs → ~1.5M candidate pairs: big enough that kernel compute dominates
+# the fixed JVM/worker-ramp costs the scaling comparison must amortize
+CORPUS_N_CLUSTERS = 10000
+CORPUS_SINGLETONS = 40000
+CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".data", "bench_corpus_80k"
+)
 
 BENCH_QUERIES = [
     "normalize_tokenize",
@@ -74,71 +80,31 @@ def _ensure_corpus() -> str:
     if not os.path.exists(marker):
         generate_corpus(
             CORPUS_DIR,
-            n_clusters=2500,
+            n_clusters=CORPUS_N_CLUSTERS,
             cluster_size=4,
-            n_singletons=10000,
+            n_singletons=CORPUS_SINGLETONS,
             seed=42,
         )
     return CORPUS_DIR
 
 
-def _er_scoring_throughput(cpus: int, corpus: str) -> tuple[int, float]:
-    """Pairs scored per second at the given parallelism: build the pipeline
-    up to cand_pairs (cached), then time the vectorized scoring stage."""
-    from pyspark.sql import SparkSession
+def _er_scoring_throughput(cpus: int, corpus: str) -> dict:
+    """Pairs-scored/sec at the given parallelism, measured in a FRESH
+    subprocess — same-process session restarts contaminate timings (the old
+    JVM's memory/threads linger)."""
+    import subprocess
 
-    from dig_entity_resolution_spark.operators.blocking import (
-        all_blocks,
-        candidate_pairs,
-        cap_block_size,
-        salt_blocks,
-        suppress_stop_keys,
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_scale_worker.py"
     )
-    from dig_entity_resolution_spark.operators.scoring import score_pairs
-    from dig_entity_resolution_spark.plans.pipeline import ERConfig
-    from dig_entity_resolution_spark.session import build_session
-    from dig_entity_resolution_spark.functions.hashing import record_id_from_url
-    from dig_entity_resolution_spark.functions.normalize import (
-        normalize_text,
-        tokenize,
+    out = subprocess.run(
+        [sys.executable, worker, str(cpus), corpus],
+        capture_output=True,
+        text=True,
+        timeout=1200,
     )
-    from pyspark.sql import functions as F
-
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-    spark = build_session(
-        app_name=f"er-bench-{cpus}", cpus=cpus, shuffle_partitions=cpus
-    )
-    cfg = ERConfig()
-    pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-    records = (
-        pages.select(
-            record_id_from_url("url").alias("record_id"), "url", "text", "lang"
-        )
-        .withColumn("norm_text", normalize_text("text"))
-        .withColumn("tokens", tokenize("norm_text"))
-    )
-    blocks = salt_blocks(
-        cap_block_size(
-            suppress_stop_keys(
-                all_blocks(records, strategies=cfg.strategies),
-                cfg.max_block_size,
-            ),
-            cfg.block_top_n,
-        ),
-        cfg.n_salts,
-    )
-    pairs = candidate_pairs(blocks).cache()
-    n_pairs = pairs.count()
-    records = records.cache()
-    records.count()
-    scored = score_pairs(
-        pairs, records, threshold=cfg.threshold, with_tfidf=cfg.with_tfidf
-    )
-    dt = _noop_run(scored)
-    spark.stop()
-    return n_pairs, dt
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -157,15 +123,17 @@ def main() -> None:
 
     corpus = _ensure_corpus()
     er: dict = {}
-    n32, dt32 = _er_scoring_throughput(32, corpus)
-    er["n_pairs"] = n32
-    er["pairs_per_sec_32"] = round(n32 / dt32, 1)
-    er["scoring_sec_32"] = round(dt32, 3)
+    r32 = _er_scoring_throughput(32, corpus)
+    er["n_pairs"] = r32["n"]
+    er["pairs_per_sec_32"] = r32["pairs_per_sec"]
+    er["scoring_sec_32"] = r32["sec"]
     if not FAST:
-        n8, dt8 = _er_scoring_throughput(8, corpus)
-        er["pairs_per_sec_8"] = round(n8 / dt8, 1)
-        er["scoring_sec_8"] = round(dt8, 3)
-        er["scaling_efficiency"] = round((n32 / dt32) / (n8 / dt8) / 4.0, 3)
+        r8 = _er_scoring_throughput(8, corpus)
+        er["pairs_per_sec_8"] = r8["pairs_per_sec"]
+        er["scoring_sec_8"] = r8["sec"]
+        er["scaling_efficiency"] = round(
+            r32["pairs_per_sec"] / r8["pairs_per_sec"] / 4.0, 3
+        )
     result["er"] = er
     result["value"] = round(time.time() - t_total0, 3)
     print(json.dumps(result))

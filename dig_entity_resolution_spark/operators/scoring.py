@@ -17,17 +17,21 @@ from pyspark.sql import functions as F
 from ..functions.similarity import jaro_winkler, lev_similarity, token_jaccard
 
 
-def hydrate_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
-    """D1: attach both records' text/tokens to each pair."""
+def hydrate_pairs(
+    pairs: DataFrame, records: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """D1: attach both records' text/tokens (+extras) to each pair."""
     r1 = records.select(
         F.col("record_id").alias("id1"),
         F.col("norm_text").alias("text1"),
         F.col("tokens").alias("tokens1"),
+        *[F.col(c).alias(f"{c}1") for c in extra_cols],
     )
     r2 = records.select(
         F.col("record_id").alias("id2"),
         F.col("norm_text").alias("text2"),
         F.col("tokens").alias("tokens2"),
+        *[F.col(c).alias(f"{c}2") for c in extra_cols],
     )
     return pairs.join(r1, "id1").join(r2, "id2")
 
@@ -57,6 +61,35 @@ def tfidf_terms(records: DataFrame) -> DataFrame:
         .select("record_id", "term", "weight")
     )
     return weighted
+
+
+def tfidf_maps(records: DataFrame) -> DataFrame:
+    """(record_id, tfidf:map<string,double>, norm:double) — the vector as a
+    per-record map so pair cosine becomes a LOCAL expression (map_zip_with)
+    instead of a per-pair term-equi-join. Kills two shuffles per scoring run;
+    docs are short (10s–100s of terms) so the map column stays small.
+    """
+    tfidf = tfidf_terms(records)
+    return tfidf.groupBy("record_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "weight"))).alias(
+            "tfidf"
+        ),
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm"),
+    )
+
+
+def map_cosine(m1: F.Column, m2: F.Column, n1: F.Column, n2: F.Column) -> F.Column:
+    """Sparse cosine of two map<term,weight> vectors with precomputed norms."""
+    prod = F.map_zip_with(
+        m1,
+        m2,
+        lambda k, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0)),
+    )
+    dot = F.aggregate(
+        F.map_values(prod), F.lit(0.0), lambda acc, v: acc + v
+    )
+    ok = n1.isNotNull() & n2.isNotNull() & (n1 > 0) & (n2 > 0)
+    return F.when(ok, dot / (n1 * n2)).otherwise(F.lit(0.0))
 
 
 def tfidf_norms(tfidf: DataFrame) -> DataFrame:
@@ -125,21 +158,41 @@ def score_pairs(
     Returns the SCORED_PAIRS schema.
     """
     w = dict(DEFAULT_WEIGHTS if weights is None else weights)
-    hydrated = hydrate_pairs(pairs, records)
+    if with_tfidf:
+        # enrich records with the tfidf map once; pair cosine is then a
+        # local expression on the hydrated rows — no per-pair shuffle
+        maps = tfidf_maps(records)
+        records = records.join(maps, "record_id", "left")
+    hydrated = hydrate_pairs(
+        pairs,
+        records,
+        extra_cols=("tfidf", "norm") if with_tfidf else (),
+    )
+    # AQE coalesces the hydrate-join output by BYTES, which is blind to the
+    # CPU cost of the JW kernel — a ~100MB pair batch collapses to 2-4
+    # partitions and the vectorized scoring runs on 2-4 cores. Repartition
+    # to the session's parallelism so every Python worker gets work; at real
+    # scale the pair table dwarfs the advisory size and this is a no-op
+    # rebalance.
+    sc = pairs.sparkSession.sparkContext
+    hydrated = hydrated.repartition(sc.defaultParallelism * 3)
+    cos = (
+        map_cosine(
+            F.col("tfidf1"), F.col("tfidf2"), F.col("norm1"), F.col("norm2")
+        )
+        if with_tfidf
+        else F.lit(0.0)
+    )
+    if not with_tfidf:
+        w["tfidf_cos"] = 0.0
     feat = hydrated.select(
         "id1",
         "id2",
         jaro_winkler("text1", "text2").alias("jw"),
         lev_similarity("text1", "text2").alias("lev_sim"),
         token_jaccard("tokens1", "tokens2").alias("jaccard"),
+        cos.alias("tfidf_cos"),
     )
-    if with_tfidf:
-        tfidf = tfidf_terms(records)
-        cos = pair_tfidf_cosine(pairs, tfidf)
-        feat = feat.join(cos, ["id1", "id2"])
-    else:
-        w["tfidf_cos"] = 0.0
-        feat = feat.withColumn("tfidf_cos", F.lit(0.0))
     total = sum(w.values()) or 1.0
     score = (
         F.col("jw") * (w.get("jw", 0) / total)
