@@ -20,19 +20,26 @@ from ..functions.similarity import jaro_winkler, lev_similarity, token_jaccard
 def hydrate_pairs(
     pairs: DataFrame, records: DataFrame, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    """D1: attach both records' text/tokens (+extras) to each pair."""
+    """D1: attach both records' text/tokens (+extras) to each pair.
+
+    Forced to a shuffle join: at 10^12-doc scale the records side can never
+    broadcast, and even at bench scale the driver-side broadcast build of a
+    records table fattened with tfidf maps is a ~15s single-threaded wall
+    per join — a parallelism-independent cost that caps scaling. A shuffle
+    hash join partitions both sides by record_id and scales with cores.
+    """
     r1 = records.select(
         F.col("record_id").alias("id1"),
         F.col("norm_text").alias("text1"),
         F.col("tokens").alias("tokens1"),
         *[F.col(c).alias(f"{c}1") for c in extra_cols],
-    )
+    ).hint("shuffle_hash")
     r2 = records.select(
         F.col("record_id").alias("id2"),
         F.col("norm_text").alias("text2"),
         F.col("tokens").alias("tokens2"),
         *[F.col(c).alias(f"{c}2") for c in extra_cols],
-    )
+    ).hint("shuffle_hash")
     return pairs.join(r1, "id1").join(r2, "id2")
 
 

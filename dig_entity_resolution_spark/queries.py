@@ -1177,6 +1177,96 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_running_total",
+    """WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+             sum(round(o_totalprice * 100)::BIGINT)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS running_cents,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, prev_order, running_cents::BIGINT AS running_cents
+    FROM w WHERE rn <= 5""",
+)
+def q_orders_running_total(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_order", F.lag("o_orderkey").over(win))
+        .withColumn(
+            "running_cents",
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("o_custkey", "o_orderkey", "prev_order", "running_cents")
+    )
+
+
+@_q(
+    "events_user_setops",
+    """SELECT 'click_and_purchase' AS segment, count(*)::BIGINT AS n_users FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+       UNION ALL
+       SELECT 'click_no_purchase' AS segment, count(*)::BIGINT AS n_users FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
+)
+def q_events_user_setops(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("click_and_purchase").alias("segment"), "n_users"
+    )
+    only = clicks.exceptAll(buys).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("click_no_purchase").alias("segment"), "n_users"
+    )
+    return both.unionByName(only)
+
+
+@_q(
+    "lineitem_pivot",
+    """SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS qty_O,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS qty_F
+    FROM lineitem GROUP BY l_returnflag""",
+)
+def q_lineitem_pivot(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_F"),
+    )
+
+
+@_q(
+    "docs_cube",
+    "SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total_chars "
+    "FROM documents GROUP BY CUBE(lang, source)",
+)
+def q_docs_cube(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
 # rows-only (no SQL twin): approximate distinct — nondeterministic across engines
 @_q("events_approx_users", None)
 def q_events_approx_users(spark, sf_dir):
