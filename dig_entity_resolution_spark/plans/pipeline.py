@@ -140,6 +140,23 @@ class ERPipeline:
         clusters = stage("clusters", lambda: self._clusters(edges, records))
         return clusters
 
+    def calibrate(self, labels_by_url: DataFrame, grid: int = 100) -> tuple[float, float]:
+        """Sweep the match threshold against url-keyed labels using the
+        checkpointed scored_pairs table; returns (best_tau, best_f1).
+        One distributed histogram pass — see operators.calibrate."""
+        from ..operators.calibrate import calibrate_threshold
+
+        records = self.ckpt.read("records").select("record_id", "url")
+        l1 = records.select(F.col("url").alias("url1"), F.col("record_id").alias("id1"))
+        l2 = records.select(F.col("url").alias("url2"), F.col("record_id").alias("id2"))
+        labels = labels_by_url.join(l1, "url1").join(l2, "url2").select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            "label",
+        )
+        scored = self.ckpt.read("scored_pairs")
+        return calibrate_threshold(scored, labels, grid)
+
     def evaluate(self, clusters: DataFrame, labels_by_url: DataFrame) -> DataFrame:
         """F1 on url-keyed labels (url1, url2, label): map urls → record ids
         via the records table, predictions = all intra-cluster pairs."""

@@ -27,6 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--labels", help="url-keyed labels parquet for F1 report")
+    p.add_argument("--calibrate", action="store_true",
+                   help="sweep the match threshold on --labels and report best (tau, F1)")
     p.add_argument("--use-extractor", action="store_true",
                    help="derive text from html (byte-identical extractor)")
     p.add_argument("--threshold", type=float, default=0.80)
@@ -58,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
         prf = pipe.evaluate(clusters, labels).collect()[0]
         report["eval"] = {k: float(prf[k]) for k in ("precision", "recall", "f1")}
         report["eval"].update({k: int(prf[k]) for k in ("tp", "fp", "fn")})
+        if args.calibrate:
+            tau, f1 = pipe.calibrate(labels)
+            report["calibration"] = {"best_tau": tau, "best_f1": round(f1, 6)}
     print(json.dumps(report))
     spark.stop()
     return 0
