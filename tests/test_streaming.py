@@ -39,6 +39,33 @@ def test_windowed_counts_stream_equals_batch(spark, events_stream):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
 
 
+def test_stateful_url_dedup(spark, tmp_path):
+    """G5: re-crawls of the same url within the watermark are dropped."""
+    import datetime as dt
+
+    from dig_entity_resolution_spark.streaming.incremental import (
+        dedup_recrawled_urls,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(minutes=5)),  # re-crawl within watermark
+        ("u2", base + dt.timedelta(minutes=1)),
+        ("u2", base + dt.timedelta(minutes=2)),  # re-crawl
+        ("u3", base),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    src = str(tmp_path / "pages_in")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got = run_available_now(
+        dedup_recrawled_urls(stream, "1 hour"), "url_dedup", output_mode="append"
+    )
+    urls = sorted(r.url for r in got)
+    assert urls == ["u1", "u2", "u3"]
+
+
 def test_sessionized_stream_equals_batch_query(spark, events_stream):
     import __spark_entry__ as entrymod
 

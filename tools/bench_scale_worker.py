@@ -106,6 +106,9 @@ def prep(corpus: str, hydrated_dir: str) -> None:
     maps = tfidf_maps(records)
     enriched = records.join(maps, "record_id", "left")
     hydrated = hydrate_pairs(pairs, enriched, extra_cols=("tfidf", "norm"))
+    # 50% sample: ~1.25M pairs — large enough that compute dominates fixed
+    # costs, small enough that best-of-2 at local[8] fits the bench budget
+    hydrated = hydrated.sample(0.5, seed=7)
     hydrated.repartition(N_FILES).write.mode("overwrite").parquet(hydrated_dir)
     n = spark.read.parquet(hydrated_dir).count()
     print(json.dumps({"prep": True, "n": n}))
