@@ -1306,6 +1306,25 @@ def q_events_approx_users(spark, sf_dir):
     )
 
 
+# rows-only: HLL sketches (F3) — the 10^12-scale cardinality counter for
+# _meta lineage; sketch bytes are engine-specific so only row/shape checks
+@_q("events_hll_sketch", None)
+def q_events_hll_sketch(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"), F.count(F.lit(1)).alias("n")
+    )
+    # merge the per-type sketches into a global distinct estimate (the
+    # distributed-rollup pattern: partial sketches union losslessly)
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk_all"), F.sum("n").alias("n")
+    )
+    return merged.select(
+        F.hll_sketch_estimate("sk_all").alias("approx_total_users"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
