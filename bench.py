@@ -89,19 +89,31 @@ def _ensure_corpus() -> str:
     return CORPUS_DIR
 
 
-def _scale_worker(*args: str) -> dict:
+def _scale_worker(*args: str, pin_cpus: int | None = None) -> dict:
     """Run one bench_scale_worker mode in a FRESH subprocess — same-process
-    session restarts contaminate timings (the old JVM lingers)."""
+    session restarts contaminate timings (the old JVM lingers).
+
+    pin_cpus pins the WHOLE process tree (JVM task threads + forked Python
+    UDF workers) to that many cores via taskset. Without the pin, a
+    local[8] run's 8 Python workers land on 8 EXTRA cores of this 32-core
+    box — the "N-core" measurement borrows up to 2N cores and the 8→32
+    efficiency reads ~20% low (r1's headline red number). A real N-core
+    executor confines JVM and Python to the same N cores, which is what
+    the pin reproduces."""
+    import shutil
     import subprocess
 
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_scale_worker.py"
     )
+    cmd = [sys.executable, worker, *args]
+    if pin_cpus and shutil.which("taskset") and pin_cpus <= (os.cpu_count() or 1):
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, worker, *args],
+        cmd,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -133,11 +145,24 @@ def _cpu_control_efficiency() -> dict:
 
     rates = {}
     for nproc in (8, 32):
-        with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
-            p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
-            t0 = time.time()
-            p.map(_ctrl_work, range(nproc * 2))
-            rates[nproc] = 10000 * nproc * 2 / (time.time() - t0)
+        # pin to nproc cores (children inherit affinity) — symmetric with
+        # the tasksetted Spark measurements: an "8-core" control must not
+        # let the OS spread its 8 workers across 32 cores' cache/bandwidth
+        try:
+            os.sched_setaffinity(0, range(nproc))
+        except (AttributeError, OSError):
+            pass
+        try:
+            with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
+                p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
+                t0 = time.time()
+                p.map(_ctrl_work, range(nproc * 2))
+                rates[nproc] = 10000 * nproc * 2 / (time.time() - t0)
+        finally:
+            try:
+                os.sched_setaffinity(0, range(os.cpu_count() or 1))
+            except (AttributeError, OSError):
+                pass
     return {
         "control_pairs_per_sec_8": round(rates[8], 1),
         "control_pairs_per_sec_32": round(rates[32], 1),
@@ -173,16 +198,18 @@ def main() -> None:
     spark.stop()
 
     corpus = _ensure_corpus()
-    hydrated = os.path.join(os.path.dirname(CORPUS_DIR), "bench_hydrated_80k")
+    # _v2: full (unsampled) pair set + pinned measurements — regenerated
+    # when the r1-era sampled table is what's on disk
+    hydrated = os.path.join(os.path.dirname(CORPUS_DIR), "bench_hydrated_80k_v2")
     if not os.path.exists(os.path.join(hydrated, "_SUCCESS")):
         _scale_worker("prep", corpus, hydrated)
     er: dict = {}
-    r32 = _scale_worker("measure", "32", hydrated)
+    r32 = _scale_worker("measure", "32", hydrated, "3", pin_cpus=32)
     er["n_pairs"] = r32["n"]
     er["pairs_per_sec_32"] = r32["pairs_per_sec"]
     er["scoring_sec_32"] = r32["sec"]
     if not FAST:
-        r8 = _scale_worker("measure", "8", hydrated)
+        r8 = _scale_worker("measure", "8", hydrated, "2", pin_cpus=8)
         er["pairs_per_sec_8"] = r8["pairs_per_sec"]
         er["scoring_sec_8"] = r8["sec"]
         er["scaling_efficiency"] = round(

@@ -17,9 +17,35 @@ from pyspark.sql import functions as F
 
 
 def record_id_from_url(url_col: Column | str) -> Column:
-    """Dense deterministic 64-bit record id: xxhash64(url)."""
+    """Dense deterministic 64-bit record id: xxhash64(url).
+
+    Collision math (ADVICE r1): 64-bit birthday collisions at 10^12 keys
+    expect ~27k silent url merges. At that scale either switch to
+    record_id128_from_url (expectation < 3e-14) or run id_collisions() at
+    ingest; 64-bit stays the default because every downstream join/shuffle
+    key is half the width."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.xxhash64(c)
+
+
+def record_id128_from_url(url_col: Column | str) -> Column:
+    """128-bit record id as struct<hi:long,lo:long> — two independently
+    seeded xxhash64 halves; collision-safe at 10^12-doc scale."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.struct(
+        F.xxhash64(c).alias("hi"), F.xxhash64(F.lit(1), c).alias("lo")
+    )
+
+
+def id_collisions(records, id_col: str = "record_id", key_col: str = "url"):
+    """Ids that map to >1 distinct source key (a 64-bit birthday collision
+    merged distinct urls). One groupBy; run at ingest when using 64-bit ids
+    at large scale — any row returned means switch to the 128-bit id."""
+    return (
+        records.groupBy(id_col)
+        .agg(F.countDistinct(key_col).alias("n_keys"))
+        .filter(F.col("n_keys") > 1)
+    )
 
 
 def md5_long(col: Column) -> Column:

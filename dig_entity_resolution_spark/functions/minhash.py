@@ -121,12 +121,9 @@ def simhash_table(
 def hamming64(a: Column | str, b: Column | str, bits: int = 64) -> Column:
     """Hamming distance between two fingerprints: popcount(a XOR b).
 
-    Literal-shift loop (shiftright requires a literal count)."""
+    One codegen'd `bit_count` call (Spark ≥3.3) instead of a 64-node
+    shiftright expression tree. `bits` kept for signature compatibility;
+    bit_count over the XOR is exact for any fingerprint width ≤64."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    x = ca.bitwiseXOR(cb)
-    total = None
-    for j in range(bits):
-        bit = F.shiftright(x, j).bitwiseAND(F.lit(1))
-        total = bit if total is None else total + bit
-    return total.cast("int")
+    return F.bit_count(ca.bitwiseXOR(cb)).cast("int")

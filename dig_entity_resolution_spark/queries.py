@@ -1119,9 +1119,13 @@ def q_customer_semi_anti_orders(spark, sf_dir):
 @_q(
     "events_sessionize",
     """WITH flagged AS (
+      -- >= matches Spark session_window semantics: a gap of EXACTLY the
+      -- 30-minute timeout starts a new session (windows are half-open
+      -- [start, start+gap)); DuckDB with '>' would merge that boundary
+      -- case (ADVICE r1 latent-flake fix)
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                  > INTERVAL 30 MINUTE OR
+                  >= INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS is_new
       FROM events

@@ -1,0 +1,100 @@
+"""ANN operator tests: driver-collect bound + hyperplane-LSH recall.
+
+VERDICT r1 items 3+4. The recall measurement uses a PLANTED near-neighbor
+corpus (copies at cos≈0.97) rather than the driver's embeddings fixture:
+the fixture's true top-10 neighbors sit at cos 0.25-0.43 (measured — no
+near-neighbor structure), where any sublinear ANN has low recall by
+information-theoretic necessity. LSH's contract is near-dup search, which
+is what the planted corpus exercises. Everything is seeded → the recall
+numbers below are exact, not flaky.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dig_entity_resolution_spark.operators.ann import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 base unit vectors × 4 near-copies (cos≈0.97) + 200 decoys.
+
+    Returns (df, truth) where truth = {(base_id, copy_id)}."""
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.standard_normal((60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, truth = [], set()
+    vid = 0
+    for b in range(60):
+        bid = vid
+        rows.append((vid, base[b].tolist()))
+        vid += 1
+        for _ in range(4):
+            v = base[b] + 0.03 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, v.tolist()))
+            truth.add((bid, vid))
+            vid += 1
+    for _ in range(200):
+        v = rng.standard_normal(dim)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, truth
+
+
+def _query_recall(ann_df, truth) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in ann_df.collect()}
+    return sum((a, b) in got for a, b in truth) / len(truth)
+
+
+def test_hyperplane_recall_at_defaults(planted):
+    df, truth = planted
+    ann = lsh_topk(df, df, "vec_id", "embedding", k=10, family="hyperplane")
+    rec = _query_recall(ann, truth)
+    assert rec >= 0.9, f"hyperplane recall {rec:.3f} < 0.9 at default bits"
+
+
+def test_multi_table_raises_recall(planted):
+    df, truth = planted
+    one = _query_recall(
+        lsh_topk(df, df, "vec_id", "embedding", k=10, family="hyperplane"), truth
+    )
+    two = _query_recall(
+        lsh_topk(
+            df, df, "vec_id", "embedding", k=10, family="hyperplane", n_tables=2
+        ),
+        truth,
+    )
+    assert two >= one
+    assert two >= 0.97, f"2-table recall {two:.3f}"
+
+
+def test_hyperplane_beats_axis_aligned_on_planted(planted):
+    """The r1 axis-aligned family has unquantified recall on correlated
+    embeddings; on the planted corpus the Gaussian family must not lose."""
+    df, truth = planted
+    sign = _query_recall(
+        lsh_topk(df, df, "vec_id", "embedding", k=10, family="sign"), truth
+    )
+    hyper = _query_recall(
+        lsh_topk(df, df, "vec_id", "embedding", k=10, family="hyperplane"), truth
+    )
+    assert hyper >= sign - 0.05  # allow noise-level inversion, not collapse
+
+
+def test_brute_force_refuses_oversized_query_side(planted):
+    df, _ = planted
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(df, df, "vec_id", "embedding", k=5, max_queries=100)
+
+
+def test_brute_force_exact_on_planted(planted):
+    """Every planted copy must appear in its base's exact top-4."""
+    df, truth = planted
+    out = brute_force_topk(df, df, "vec_id", "embedding", k=4)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert all((a, b) in got for a, b in truth)

@@ -49,3 +49,15 @@ def test_checkpoint_incomplete_after_meta_wipe(spark, tmp_path):
 def test_iceberg_checkpoint_requires_catalog(spark):
     with pytest.raises(RuntimeError, match="no Spark catalog"):
         IcebergCheckpoint(spark, "icecat", "er", "r1")
+
+
+def test_empty_stage_is_complete(spark, tmp_path):
+    """A legitimately EMPTY stage (e.g. edges when nothing matched) must
+    count as complete — sum(rows_out) over empty lineage is NULL, and the
+    r1 NULL != 0 comparison forced every downstream stage to recompute on
+    each resume (ADVICE r1)."""
+    ck = ParquetCheckpoint(spark, str(tmp_path), "r3")
+    empty = spark.range(1).filter(F.col("id") < 0).withColumnRenamed("id", "record_id")
+    ck.write("edges", empty)
+    assert ck.read("edges").count() == 0
+    assert ck.is_complete("edges")

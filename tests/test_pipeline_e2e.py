@@ -45,6 +45,25 @@ def test_resume_identical_and_no_recompute(spark, corpus, tmp_path):
     assert sorted((r.record_id, r.cluster_id) for r in resumed.collect()) == full_rows
 
 
+def test_recrawl_dedupe_keeps_latest(spark, corpus, tmp_path):
+    """Recrawled urls (same url, several warc_ts) must collapse to ONE
+    record — the latest snapshot — before blocking/eval; duplicate
+    record_ids would duplicate scored pairs and inflate tp/fp/fn
+    (ADVICE r1). Batch twin of the streaming recrawl dedupe."""
+    pages = spark.read.parquet(corpus["pages"])
+    # recrawl every page once with an older timestamp and different text —
+    # the pipeline must keep the newer (original) snapshot
+    old = pages.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 10 DAYS")
+    ).withColumn("text", F.concat(F.lit("STALE "), F.col("text")))
+    recrawled = pages.unionByName(old)
+    pipe = ERPipeline(spark, str(tmp_path / "wh3"), "rc", ERConfig())
+    records = pipe.ckpt.write("_probe", pipe._records(recrawled))
+    assert records.count() == pages.count()
+    assert records.select("record_id").distinct().count() == pages.count()
+    assert records.filter(F.col("text").startswith("STALE")).count() == 0
+
+
 def test_byte_identity_invariant(spark, corpus):
     from dig_entity_resolution_spark.extract import extract_text_col
 
