@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "embedding_topk",
     "embedding_ann_lsh",
+    "embedding_ann_hyperplane",
     "connected_components",
     "tpch_q1_agg",
     "events_sessionize",

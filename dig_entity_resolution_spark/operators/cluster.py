@@ -75,17 +75,55 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_every: int = 1,
+    ckpt=None,
+    resume: bool = False,
+    stage_prefix: str = "cc",
 ) -> DataFrame:
     """E2–E5: returns (record_id, cluster_id) for every node appearing in
     `edges`; cluster_id = min record_id in the component.
 
     Convergence: stop when the canonical edge set's (count, hash-sum)
     fingerprint is stable across a full large+small round.
+
+    Lineage truncation (VERDICT r1 item 8): each round must cut the
+    Catalyst plan or analysis stalls ~round 10. Two modes:
+      * ckpt=None (default) — localCheckpoint. Fast, but NOT fault-
+        tolerant: executor loss on a real cluster kills the truncated
+        lineage. Fine for local/bench runs.
+      * ckpt=ParquetCheckpoint/IcebergCheckpoint — every round is a
+        durable stage table `{stage_prefix}_round{i}`; with resume=True
+        the loop fast-forwards past complete rounds, so a crash mid-
+        closure (the 10^12-doc case: dozens of rounds, hours each)
+        restarts at the last finished round, not at round 0.
     """
-    cur = canonical_edges(edges, "src", "dst").localCheckpoint(eager=True)
-    prev_fp = None
-    for _ in range(max_rounds):
+
+    def _cut(name: str, df: DataFrame) -> DataFrame:
+        if ckpt is None:
+            return df.localCheckpoint(eager=True)
+        return ckpt.write(name, df)
+
+    cur = None
+    start_round = 0
+    if ckpt is not None and resume:
+        done = 0
+        while done < max_rounds and ckpt.is_complete(
+            f"{stage_prefix}_round{done}"
+        ):
+            done += 1
+        if done > 0:
+            cur = ckpt.read(f"{stage_prefix}_round{done - 1}")
+            start_round = done
+    if cur is None:
+        cur = _cut(
+            f"{stage_prefix}_init", canonical_edges(edges, "src", "dst")
+        )
+    # resume note: prev_fp from the resumed table is exactly the convergence
+    # test — if the next round reproduces it, the closure was already done
+    prev_fp = _fingerprint(cur) if start_round > 0 else None
+    for rnd in range(start_round, max_rounds):
         sym = _symmetrize(cur)
         ls = _large_star(sym)
         # small-star operates on edges oriented high→low: flip canonical
@@ -93,13 +131,12 @@ def connected_components(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).dropDuplicates(["src", "dst"])
         ss = _small_star(ss_in)
-        cur = (
+        cur = _cut(
+            f"{stage_prefix}_round{rnd}",
             ss.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
-            )
-            .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=True)
+            ).dropDuplicates(["src", "dst"]),
         )
         fp = _fingerprint(cur)
         if fp == prev_fp:

@@ -54,6 +54,11 @@ class ERConfig:
         default_factory=lambda: {"jw": 0.35, "lev_sim": 0.25, "tfidf_cos": 0.4}
     )
     use_extractor: bool = False  # True when text must be derived from html
+    # durable_cc: truncate connected-components lineage through checkpoint
+    # stage tables (cc_round{i}) instead of localCheckpoint — fault-tolerant
+    # and resumable mid-closure; the right setting on a real cluster where
+    # executor loss would kill localCheckpoint'ed lineage
+    durable_cc: bool = False
 
 
 class ERPipeline:
@@ -133,8 +138,14 @@ class ERPipeline:
     def _edges(self, scored: DataFrame) -> DataFrame:
         return canonical_edges(scored.filter(F.col("is_match")))
 
-    def _clusters(self, edges: DataFrame, records: DataFrame) -> DataFrame:
-        assign = connected_components(edges)
+    def _clusters(
+        self, edges: DataFrame, records: DataFrame, resume: bool = False
+    ) -> DataFrame:
+        assign = connected_components(
+            edges,
+            ckpt=self.ckpt if self.cfg.durable_cc else None,
+            resume=resume,
+        )
         return clusters_with_singletons(assign, records)
 
     # -- orchestration ----------------------------------------------------
@@ -156,7 +167,9 @@ class ERPipeline:
         pairs = stage("cand_pairs", lambda: self._cand_pairs(blocks))
         scored = stage("scored_pairs", lambda: self._scored_pairs(pairs, records))
         edges = stage("edges", lambda: self._edges(scored))
-        clusters = stage("clusters", lambda: self._clusters(edges, records))
+        clusters = stage(
+            "clusters", lambda: self._clusters(edges, records, resume=resume)
+        )
         return clusters
 
     def calibrate(self, labels_by_url: DataFrame, grid: int = 100) -> tuple[float, float]:

@@ -74,3 +74,49 @@ def test_cc_chain_and_selfloop(spark):
 def test_cc_empty(spark):
     edf = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edf).count() == 0
+
+
+def test_cc_durable_checkpoint_resumes_mid_closure(spark, tmp_path):
+    """VERDICT r1 item 8: with a durable checkpoint, a crash between CC
+    rounds resumes at the last finished round. Simulated by running the
+    closure with max_rounds=1 (writes cc_init + cc_round0, returns
+    unconverged), then resuming to convergence — the resumed result must
+    equal the single-shot result, and round0's files must not be
+    rewritten."""
+    import os
+
+    from dig_entity_resolution_spark.plans.checkpoint import ParquetCheckpoint
+
+    edges = [(i, i + 1) for i in range(1, 20)] + [(100, 101), (101, 102)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    expect = {
+        r.record_id: r.cluster_id for r in connected_components(edf).collect()
+    }
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "ccrun")
+    connected_components(edf, max_rounds=1, ckpt=ck).collect()  # "crash" here
+    r0 = ck.table_path("cc_round0")
+    assert os.path.exists(os.path.join(r0, "_SUCCESS"))
+    before = {f: os.path.getmtime(os.path.join(r0, f)) for f in os.listdir(r0)}
+
+    resumed = connected_components(edf, ckpt=ck, resume=True)
+    got = {r.record_id: r.cluster_id for r in resumed.collect()}
+    assert got == expect
+    after = {f: os.path.getmtime(os.path.join(r0, f)) for f in os.listdir(r0)}
+    assert before == after, "round0 was recomputed on resume"
+    # later rounds were written durably during the resumed run
+    assert ck.is_complete("cc_round1")
+
+
+def test_cc_durable_equals_local_checkpoint(spark, tmp_path):
+    from dig_entity_resolution_spark.plans.checkpoint import ParquetCheckpoint
+
+    nodes, edges = _random_graph(4)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    local = {r.record_id: r.cluster_id for r in connected_components(edf).collect()}
+    ck = ParquetCheckpoint(spark, str(tmp_path), "ccd")
+    durable = {
+        r.record_id: r.cluster_id
+        for r in connected_components(edf, ckpt=ck).collect()
+    }
+    assert local == durable
