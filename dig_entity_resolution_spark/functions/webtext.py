@@ -1,0 +1,129 @@
+"""Web-corpus hygiene operators for training-data pipelines: URL
+canonicalization, PII redaction, and repetition-based quality signals.
+
+All JVM-native Column expressions (regexp/split/sort — codegen'd, no
+Python), with DuckDB-expressible semantics so each gets an oracle twin in
+queries.py. Patterns are written to the common subset of Java regex and
+RE2 (no backrefs, no lookaround) so both engines match identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query params that carry tracking state, not content identity — dropping
+# them is the single highest-value dedup move on crawled URLs
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for identity/dedup:
+
+    * scheme + host lowercased, default ports (:80/:443) dropped
+    * fragment dropped
+    * tracking params (utm_*, fbclid, gclid, ...) dropped
+    * remaining query params sorted bytewise
+    * trailing slash stripped from the path
+
+    Malformed inputs (no scheme://host) pass through lowercased+trimmed, so
+    the expression never NULLs a whole row.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.trim(u)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", rebuilt).otherwise(F.lower(u))
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / NNN-NNN-NNNN phones / IPv4 literals with typed
+    placeholder tokens. Order matters: emails first (their local part can
+    contain digits that would otherwise half-match the phone pattern);
+    IPv4 last (phone redaction can't produce dotted quads)."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
+    t = F.regexp_replace(t, PII_IPV4_RE, "<IP>")
+    return t
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in the raw text — the audit
+    counterpart of redact_pii (count BEFORE redaction)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str, tokens_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+
+      distinct_ratio    = |distinct tokens| / |tokens|
+      top_bigram_frac   = occurrences of the most frequent bigram / #bigrams
+
+    Heavily-templated/spammy docs score low distinct_ratio and high
+    top_bigram_frac. Relational formulation: one explode + two aggs, all
+    codegen'd; scales as a groupBy on doc_id (no skew — keys are doc ids).
+    Docs with <2 tokens get top_bigram_frac 0.
+    """
+    toks = F.col(tokens_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    frac = counts.groupBy("doc_id").agg(
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_bigram_frac"
+        )
+    )
+    return base.select("doc_id", "distinct_ratio").join(
+        frac, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "distinct_ratio",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )

@@ -1396,6 +1396,162 @@ def q_events_hll_sketch(spark, sf_dir):
     )
 
 
+# -- web-corpus hygiene: URL canonicalization, PII redaction, repetition ------
+# The fixture corpus carries no URLs/PII (synthetic word-salad text), so
+# these queries CONSTRUCT messy inputs deterministically from existing
+# columns — identically in both engines — and then exercise the real
+# operator logic on them. The comparison therefore proves the
+# canonicalize/redact semantics, not just a pass-through.
+
+
+@_q(
+    "url_canonicalize",
+    """WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id
+               || '/?utm_source=feed&b=2&a=1&fbclid=x#frag'
+             ELSE
+               'www.' || source || '.example.com/page/' || doc_id
+             END AS url
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+      THEN
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+        || regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':(80|443)$', '')
+        || regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '/$', '')
+        || CASE WHEN array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
+                  '&') <> ''
+           THEN '?' || array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
+                  '&')
+           ELSE '' END
+      ELSE lower(trim(url)) END AS canon_url
+    FROM urls""",
+)
+def q_url_canonicalize(spark, sf_dir):
+    """Tracking-param stripping + scheme/host normalization — the
+    identity-key step ahead of exact URL dedup on a crawl corpus."""
+    from .functions.webtext import canonical_url
+
+    d = _docs(spark, sf_dir)
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&b=2&a=1&fbclid=x#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("www."),
+            F.col("source"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return d.select("doc_id", canonical_url(url).alias("canon_url"))
+
+
+@_q(
+    "pii_redaction",
+    """WITH synth AS (
+      SELECT doc_id,
+             'contact admin@' || source || '.org or 555-123-4567 from 10.0.0.'
+             || (doc_id % 250) || ' ' || substring(text, 1, 50) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+        AS redacted,
+      len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))::INT AS n_emails,
+      len(regexp_extract_all(t,
+        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b'))::INT AS n_phones,
+      len(regexp_extract_all(t,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::INT AS n_ips
+    FROM synth""",
+)
+def q_pii_redaction(spark, sf_dir):
+    """Typed PII scrubbing (emails/phones/IPv4) + audit counts — a
+    first-class pre-training hygiene pass."""
+    from .functions.webtext import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.lit("contact admin@"),
+        F.col("source"),
+        F.lit(".org or 555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" "),
+        F.substring("text", 1, 50),
+    )
+    n_email, n_phone, n_ip = pii_counts(synth)
+    return d.select(
+        "doc_id",
+        redact_pii(synth).alias("redacted"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+    )
+
+
+@_q(
+    "repetition_stats",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """base AS (
+      SELECT record_id AS doc_id, tokens FROM toks
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(tokens) - 1, 0)),
+               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+      FROM base
+    ),
+    counts AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY doc_id, bigram
+    ),
+    frac AS (
+      SELECT doc_id, max(n)::DOUBLE / sum(n) AS top_bigram_frac
+      FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           round(len(list_distinct(b.tokens))::DOUBLE /
+                 greatest(len(b.tokens), 1), 6) AS distinct_ratio,
+           round(coalesce(f.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+    FROM base b LEFT JOIN frac f ON b.doc_id = f.doc_id""",
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021): distinct
+    token ratio + most-frequent-bigram fraction per document."""
+    from .functions.webtext import repetition_stats
+
+    recs = _records(spark, sf_dir)
+    out = repetition_stats(recs, "record_id", "tokens")
+    return out.select(
+        "doc_id",
+        F.round("distinct_ratio", R6).alias("distinct_ratio"),
+        F.round("top_bigram_frac", R6).alias("top_bigram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

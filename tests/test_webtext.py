@@ -1,0 +1,87 @@
+"""Web-corpus hygiene operators: URL canonicalization, PII redaction,
+repetition stats — edge cases the oracle queries' synthetic inputs don't
+reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.functions.webtext import (
+    canonical_url,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["u"])
+    return df.select(canonical_url("u").alias("c")).collect()[0].c
+
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        # host lowercased, default https port dropped, fragment dropped,
+        # tracking stripped, params sorted, trailing slash stripped
+        (
+            "HTTPS://WWW.Example.COM:443/A/b/?z=9&utm_campaign=x&a=1#top",
+            "https://www.example.com/A/b?a=1&z=9",
+        ),
+        ("http://host.com:80/", "http://host.com"),
+        ("http://host.com:8080/x", "http://host.com:8080/x"),  # non-default port kept
+        ("https://h.com/p?fbclid=abc", "https://h.com/p"),  # all params tracking
+        ("  https://h.com/p  ", "https://h.com/p"),  # trimmed
+        ("no-scheme.example.com/Path", "no-scheme.example.com/path"),  # passthrough
+        ("ftp://Files.example.com/Pub/", "ftp://files.example.com/Pub"),
+    ],
+)
+def test_canonical_url(spark, url, expect):
+    assert _canon(spark, url) == expect
+
+
+def test_canonical_url_idempotent(spark):
+    once = _canon(spark, "HTTPS://A.B:443/c/?utm_x=1&b=2&a=1#f")
+    assert _canon(spark, once) == once
+
+
+def test_redact_pii_and_counts(spark):
+    text = (
+        "mail Jane.Doe+x@corp.example.org or 555-123-4567 / 555.987.6543, "
+        "server at 192.168.1.100 said hi"
+    )
+    df = spark.createDataFrame([(text,)], ["t"])
+    e, p, i = pii_counts("t")
+    row = df.select(
+        redact_pii("t").alias("r"), e.alias("e"), p.alias("p"), i.alias("i")
+    ).collect()[0]
+    assert "<EMAIL>" in row.r and "<PHONE>" in row.r and "<IP>" in row.r
+    assert "Jane.Doe" not in row.r and "192.168" not in row.r
+    assert (row.e, row.p, row.i) == (1, 2, 1)
+
+
+def test_redact_pii_no_false_positives(spark):
+    text = "version 1.2 costs 10.99 dollars, section 3.4.5 applies"
+    df = spark.createDataFrame([(text,)], ["t"])
+    assert df.select(redact_pii("t").alias("r")).collect()[0].r == text
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "b", "a", "b"]),  # "a b"x3,"b a"x2 of 5 bigrams
+            (2, ["x", "y", "z", "w"]),  # all distinct, all bigrams unique
+            (3, ["solo"]),  # <2 tokens → frac 0
+            (4, []),  # empty → ratio 0, frac 0
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {
+        r.doc_id: (round(r.distinct_ratio, 6), round(r.top_bigram_frac, 6))
+        for r in repetition_stats(docs, "doc_id", "tokens").collect()
+    }
+    assert rows[1] == (round(2 / 6, 6), 0.6)
+    assert rows[2] == (1.0, round(1 / 3, 6))
+    assert rows[3] == (1.0, 0.0)
+    assert rows[4] == (0.0, 0.0)
