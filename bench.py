@@ -120,55 +120,52 @@ def _scale_worker(*args: str, pin_cpus: int | None = None) -> dict:
     return json.loads(line)
 
 
-def _cpu_control_efficiency() -> dict:
-    """Pure-CPU control: the same JW kernel under multiprocessing at 8 and
-    32 workers, no Spark. On this single box, raising occupancy 8→32 drops
-    the sustained clock (turbo), capping ANY perfectly-parallel job's
-    efficiency at the value this control measures — a real cluster adds
+def _cpu_control_rate(nproc: int) -> float:
+    """Pure-CPU control at ONE parallelism level: the same JW kernel under
+    multiprocessing, no Spark, pinned to nproc cores (symmetric with the
+    tasksetted Spark measurements). On this single box, raising occupancy
+    8→32 drops the sustained clock (turbo), capping ANY perfectly-parallel
+    job's efficiency at what the control measures — a real cluster adds
     executors at constant clock and does not pay this. Spark efficiency is
-    therefore also reported relative to the control."""
+    therefore also reported relative to the control.
+
+    Called right AFTER the Spark measurement at the same level so each
+    (spark, control) pair samples the same minutes of shared-VM noise —
+    the ratio-of-ratios then cancels slow drift of the box."""
     import random
     from multiprocessing import Pool
 
     import pandas as pd
 
-    from dig_entity_resolution_spark.functions.similarity import (
-        jaro_winkler_batch,
-    )
-
     global _CTRL_A, _CTRL_B
-    rng = random.Random(1)
-    vocab = [f"tok{i}" for i in range(30)] + ["anchor0001q"]
-    mk = lambda: " ".join(rng.choice(vocab) for _ in range(18))  # noqa: E731
-    pairs = [(mk(), mk()) for _ in range(10000)]
-    _CTRL_A = pd.Series([p[0] for p in pairs])
-    _CTRL_B = pd.Series([p[1] for p in pairs])
+    if _CTRL_A is None:
+        rng = random.Random(1)
+        vocab = [f"tok{i}" for i in range(30)] + ["anchor0001q"]
+        mk = lambda: " ".join(rng.choice(vocab) for _ in range(18))  # noqa: E731
+        pairs = [(mk(), mk()) for _ in range(10000)]
+        _CTRL_A = pd.Series([p[0] for p in pairs])
+        _CTRL_B = pd.Series([p[1] for p in pairs])
 
-    rates = {}
-    for nproc in (8, 32):
-        # pin to nproc cores (children inherit affinity) — symmetric with
-        # the tasksetted Spark measurements: an "8-core" control must not
-        # let the OS spread its 8 workers across 32 cores' cache/bandwidth
+    try:
+        os.sched_setaffinity(0, range(nproc))
+    except (AttributeError, OSError):
+        pass
+    try:
+        best = 0.0
+        with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
+            p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
+            for _ in range(2):  # best-of-2, mirroring the Spark side
+                # 4 waves of ~1s tasks: a ≥4s timed region — the control
+                # was the noisiest term in the efficiency ratio at 2 waves
+                t0 = time.time()
+                p.map(_ctrl_work, range(nproc * 4))
+                best = max(best, 10000 * nproc * 4 / (time.time() - t0))
+        return best
+    finally:
         try:
-            os.sched_setaffinity(0, range(nproc))
+            os.sched_setaffinity(0, range(os.cpu_count() or 1))
         except (AttributeError, OSError):
             pass
-        try:
-            with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
-                p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
-                t0 = time.time()
-                p.map(_ctrl_work, range(nproc * 2))
-                rates[nproc] = 10000 * nproc * 2 / (time.time() - t0)
-        finally:
-            try:
-                os.sched_setaffinity(0, range(os.cpu_count() or 1))
-            except (AttributeError, OSError):
-                pass
-    return {
-        "control_pairs_per_sec_8": round(rates[8], 1),
-        "control_pairs_per_sec_32": round(rates[32], 1),
-        "control_efficiency": round(rates[32] / rates[8] / 4.0, 3),
-    }
 
 
 _CTRL_A = None
@@ -205,22 +202,28 @@ def main() -> None:
     if not os.path.exists(os.path.join(hydrated, "_SUCCESS")):
         _scale_worker("prep", corpus, hydrated)
     er: dict = {}
+    # interleave (spark, control) per level: each pair samples the same
+    # minutes of shared-VM noise, so the efficiency-vs-control ratio
+    # cancels box drift between the 32- and 8-core measurement windows
     r32 = _scale_worker("measure", "32", hydrated, "3", pin_cpus=32)
     er["n_pairs"] = r32["n"]
     er["pairs_per_sec_32"] = r32["pairs_per_sec"]
     er["scoring_sec_32"] = r32["sec"]
     if not FAST:
+        c32 = _cpu_control_rate(32)
         r8 = _scale_worker("measure", "8", hydrated, "2", pin_cpus=8)
+        c8 = _cpu_control_rate(8)
         er["pairs_per_sec_8"] = r8["pairs_per_sec"]
         er["scoring_sec_8"] = r8["sec"]
         er["scaling_efficiency"] = round(
             r32["pairs_per_sec"] / r8["pairs_per_sec"] / 4.0, 3
         )
-        ctl = _cpu_control_efficiency()
-        er.update(ctl)
-        if ctl["control_efficiency"] > 0:
+        er["control_pairs_per_sec_8"] = round(c8, 1)
+        er["control_pairs_per_sec_32"] = round(c32, 1)
+        er["control_efficiency"] = round(c32 / c8 / 4.0, 3)
+        if er["control_efficiency"] > 0:
             er["efficiency_vs_cpu_control"] = round(
-                er["scaling_efficiency"] / ctl["control_efficiency"], 3
+                er["scaling_efficiency"] / er["control_efficiency"], 3
             )
     result["er"] = er
     result["value"] = round(time.time() - t_total0, 3)

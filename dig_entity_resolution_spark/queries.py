@@ -1552,6 +1552,60 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+# -- deterministic sampling (training-mixture weighting / splits) -------------
+# md5-bucket sampling is a pure function of (salt, id) — reproducible
+# across engines, partitionings, and retries, unlike seeded-RNG sample().
+
+_SQL_BUCKET = (
+    "(" + _sql_md5long("'{salt}:' || doc_id") + " % 10000 + 10000) % 10000"
+)
+
+
+@_q(
+    "stratified_sample",
+    f"""SELECT doc_id, source
+    FROM documents
+    WHERE {_SQL_BUCKET.format(salt='s0')} <
+      CASE source
+        WHEN 'src0' THEN 8000
+        WHEN 'src1' THEN 2500
+        WHEN 'src2' THEN 0
+        ELSE 5000 END""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic keep rates — the mixture-weighting
+    primitive for training-data curation."""
+    from .operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 0.80, "src1": 0.25, "src2": 0.0},
+        default_fraction=0.50,
+        salt="s0",
+    )
+    return out.select("doc_id", "source")
+
+
+@_q(
+    "train_val_split",
+    f"""SELECT doc_id,
+      CASE WHEN {_SQL_BUCKET.format(salt='split')} < 1000
+           THEN 'val' ELSE 'train' END AS split
+    FROM documents""",
+)
+def q_train_val_split(spark, sf_dir):
+    """Deterministic id-keyed split assignment (leakage-safe across joins)."""
+    from .operators.sampling import train_val_split
+
+    d = _docs(spark, sf_dir)
+    return train_val_split(d, "doc_id", val_fraction=0.10, salt="split").select(
+        "doc_id", "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

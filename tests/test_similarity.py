@@ -122,6 +122,32 @@ def test_jw_reference_agrees_with_kernel_on_random():
     assert np.abs(vals - expect).max() <= 1e-12
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # tiny alphabets force dense match windows + transpositions (the JW
+    # hard cases); the mixed strategy adds unicode and empties
+    _jw_text = st.one_of(
+        st.text(alphabet="ab", max_size=12),
+        st.text(alphabet="abc ", max_size=30),
+        st.text(max_size=20),  # arbitrary unicode incl. astral
+        st.just(""),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(_jw_text, _jw_text), min_size=1, max_size=40))
+    def test_jw_kernel_property_vs_reference(pairs):
+        a = pd.Series([p[0] for p in pairs])
+        b = pd.Series([p[1] for p in pairs])
+        vals = jaro_winkler_batch(a, b)
+        expect = np.array([_jw_reference(x, y) for x, y in pairs])
+        assert np.abs(vals - expect).max() <= 1e-12
+
+except ImportError:  # hypothesis not installed — random tests above still run
+    pass
+
+
 def test_cosine_batch_matches_numpy():
     rng = np.random.default_rng(3)
     va = rng.normal(size=(300, 32))
