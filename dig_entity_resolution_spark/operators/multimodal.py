@@ -5,15 +5,20 @@ as `binary` columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched mapInPandas stages so the heavy
 bytes never pass through per-row Python or the driver.
 
-This sandbox has no image/audio libraries, so the actual codec call is
-STUBBED (clearly marked below): `decode_features` computes a deterministic
-byte-histogram feature instead, and `decode_image_real` raises
-NotImplementedError until Pillow/libav are available. Everything AROUND the
-codec — schema, batching, partitioning, UDF signature — is real and tested.
+Codec reality in this sandbox (no Pillow/libav):
+  * UNCOMPRESSED formats are decoded FOR REAL with pure numpy/struct —
+    24-bit BMP images (`decode_bmp`/`encode_bmp`) and PCM WAV audio
+    (`decode_wav`/`encode_wav`), including a real nearest-neighbor resize.
+    Round-tripped byte-exactly in tests.
+  * COMPRESSED formats (jpeg/mp3/mp4) genuinely require external codecs;
+    `decode_image_real` raises NotImplementedError for those, and
+    feature extraction falls back to a deterministic byte-histogram so the
+    pipeline shape stays exercised end-to-end.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,57 +42,221 @@ ASSET_SCHEMA = T.StructType(
 N_FEATURES = 16
 
 
-def decode_image_real(payload: bytes) -> "np.ndarray":
-    """STUB — the real decoder needs Pillow/libav, absent in this sandbox."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; the pipeline plumbing uses decode_features instead"
+# ---------------------------------------------------------------------------
+# REAL codecs for uncompressed formats (pure numpy/struct — no external libs)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # BMP stores bottom-up BGR
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (H, W, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    img = rows[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize (the standard pre-train thumbnail op)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono int16 PCM samples as a RIFF/WAV file."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
-def _byte_histogram_features(payloads: pd.Series) -> np.ndarray:
-    """Deterministic fake 'decode': 16-bin byte histogram, L1-normalized.
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload → (mono int16 samples, sample_rate).
+    Walks RIFF chunks properly (a real parser, not an offset guess)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need mono 16-bit PCM)")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("truncated WAV payload")
+    return data, rate
 
-    Stands in for a codec so the Spark-side contract (binary in, fixed-width
-    float vector out, Arrow batches) is real and testable.
-    """
-    out = np.zeros((len(payloads), N_FEATURES), dtype=np.float64)
-    for i, b in enumerate(payloads):
-        if b is None or len(b) == 0:
-            continue
-        arr = np.frombuffer(bytes(b), dtype=np.uint8)
-        hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
-        out[i] = hist / hist.sum()
-    return out
+
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Decode an image payload. BMP decodes for real (pure numpy);
+    compressed formats need a codec library absent from this sandbox."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image decode (jpeg/png/webp) requires an imaging "
+        "library not present in this environment; BMP decodes natively"
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (real decode when the format allows, fallback otherwise)
+# ---------------------------------------------------------------------------
+
+
+def _byte_histogram_features(b: bytes | None) -> np.ndarray:
+    """Deterministic fallback 'decode' for compressed formats: 16-bin byte
+    histogram, L1-normalized — keeps the Spark-side contract (binary in,
+    fixed-width float vector out) exercised when no codec exists."""
+    if b is None or len(b) == 0:
+        return np.zeros(N_FEATURES)
+    arr = np.frombuffer(bytes(b), dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
+    return hist / hist.sum()
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """16 real image features: per-channel mean+std (6), 8-bin luminance
+    histogram (8), aspect ratio, fill (constant 1.0 pad)."""
+    f = np.zeros(N_FEATURES)
+    x = img.astype(np.float64) / 255.0
+    f[0:3] = x.mean(axis=(0, 1))
+    f[3:6] = x.std(axis=(0, 1))
+    luma = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    f[6:14] = hist / max(luma.size, 1)
+    f[14] = img.shape[1] / img.shape[0]
+    f[15] = 1.0
+    return f
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """16 real audio features: RMS, zero-crossing rate, peak, duration_s,
+    8-bin |amplitude| histogram, silence fraction, fill."""
+    f = np.zeros(N_FEATURES)
+    if len(samples) == 0:
+        return f
+    x = samples.astype(np.float64) / 32768.0
+    f[0] = float(np.sqrt((x * x).mean()))
+    f[1] = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    f[2] = float(np.abs(x).max())
+    f[3] = len(x) / rate
+    hist, _ = np.histogram(np.abs(x), bins=8, range=(0.0, 1.0))
+    f[4:12] = hist / len(x)
+    f[12] = float((np.abs(x) < 1e-3).mean())
+    f[15] = 1.0
+    return f
+
+
+def _features_for(kind: str, mime: str | None, payload: bytes | None) -> np.ndarray:
+    try:
+        if payload and kind == "image" and payload[:2] == b"BM":
+            return _image_features(decode_bmp(payload))
+        if payload and kind == "audio" and payload[:4] == b"RIFF":
+            return _audio_features(*decode_wav(payload))
+    except (ValueError, NotImplementedError):
+        pass  # malformed/unsupported → fallback features, row survives
+    return _byte_histogram_features(payload)
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: (asset_id, kind, features:array<double>).
 
     Partition-parallel, Arrow-batched; payload column is dropped immediately
-    after decode so the fat bytes don't flow further down the plan.
+    after decode so the fat bytes don't flow further down the plan. BMP/WAV
+    payloads get REAL decoded features; compressed formats get the
+    byte-histogram fallback (documented sandbox constraint).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _byte_histogram_features(pdf["payload"])
+            feats = [
+                _features_for(k, m, p)
+                for k, m, p in zip(pdf["kind"], pdf["mime"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "features": list(feats),
+                    "features": feats,
                 }
             )
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(
+    return assets.select("asset_id", "kind", "mime", "payload").mapInPandas(
         run, "asset_id long, kind string, features array<double>"
+    )
+
+
+def thumbnail_images(assets: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFrame:
+    """Real resize stage: decode BMP → nearest-neighbor thumbnail →
+    re-encode BMP. (asset_id, thumb:binary). Non-BMP rows are skipped —
+    at scale this is the 'normalize resolution before embedding' pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:2]) != b"BM":
+                    continue
+                try:
+                    img = decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                ids.append(aid)
+                thumbs.append(encode_bmp(resize_nearest(img, out_h, out_w)))
+            yield pd.DataFrame({"asset_id": ids, "thumb": thumbs})
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, "asset_id long, thumb binary")
     )
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes one row per planned frame
     timestamp from metadata (duration_ms) without touching payloads —
-    the decode of each frame is the stubbed codec step.
+    the per-frame decode is the codec step (compressed video needs libav).
     """
     n_frames = F.greatest(
         F.ceil(F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
@@ -103,24 +272,36 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fixture assets (payload = seeded pseudo-random bytes)."""
-    import random
-
-    rng = random.Random(seed)
+    """Deterministic fixture assets with REAL payloads where the codec is
+    real: images are valid 24-bit BMPs (gradient + seeded noise), audio is
+    valid mono 16-bit PCM WAV (sine + seeded noise); video payloads stay
+    opaque bytes (compressed-container decode is sandbox-gated)."""
+    rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.randrange(256) for _ in range(256 + (i % 7) * 64))
-        rows.append(
-            (
-                i,
-                kind,
-                payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 if kind == "image" else None,
-                48 if kind == "image" else None,
-                (i % 5 + 1) * 1500 if kind == "video" else None,
-            )
-        )
+        if kind == "image":
+            w, h = 24 + (i % 5) * 8, 16 + (i % 3) * 8
+            gx = np.linspace(0, 255, w, dtype=np.float64)
+            img = np.zeros((h, w, 3), dtype=np.float64)
+            img[:, :, 0] = gx
+            img[:, :, 1] = np.linspace(0, 255, h)[:, None]
+            img[:, :, 2] = rng.integers(0, 256, size=(h, w))
+            payload = encode_bmp(img.astype(np.uint8))
+            width, height, dur = w, h, None
+        elif kind == "audio":
+            dur_s = 0.05 + (i % 4) * 0.05
+            t = np.arange(int(16000 * dur_s)) / 16000.0
+            wave = 0.4 * np.sin(2 * np.pi * (200 + i * 10) * t)
+            wave += 0.05 * rng.standard_normal(len(t))
+            payload = encode_wav((wave * 32767).astype(np.int16))
+            width, height, dur = None, None, int(dur_s * 1000)
+        else:
+            payload = rng.integers(0, 256, size=256 + (i % 7) * 64).astype(
+                np.uint8
+            ).tobytes()
+            width, height, dur = None, None, (i % 5 + 1) * 1500
+        mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        rows.append((i, kind, payload, mime, width, height, dur))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
