@@ -1,0 +1,210 @@
+"""IVF (inverted-file) ANN: coarse k-means quantizer + cell-probed search.
+
+The third ANN family next to brute force and LSH (operators/ann.py), and
+the classic billion-vector layout (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 2011 — the IVF part, without PQ
+compression): corpus vectors are assigned to their nearest centroid
+("cell"); a query probes only its nprobe nearest cells, cutting the
+candidate set by ~k_cells/nprobe while recall stays high when neighbors
+share cells.
+
+Spark-first layout:
+  * kmeans_fit — distributed Lloyd: assignment is a codegen'd argmin over
+    broadcast centroid literals; the update step reduces per-(cell, dim)
+    sums via posexplode+groupBy, so only the k×dim centroid matrix ever
+    reaches the driver (the 100 TB-safe pattern).
+  * assign_cells / ivf_topk — pure native expressions (zip_with dot
+    products against literal centroid arrays + window top-1/top-nprobe);
+    the bucket join is an equi-join on cell id. No Python in the hot path.
+
+At 10^12 docs the cell table is the natural partition/bucket key: corpus
+cells are computed once at ingest and persisted, queries probe at read
+time — the same join-locality story as the LSH path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_native
+
+
+def _dot_lit(vec_col: Column, centroid: np.ndarray) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_ranks(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """(id, vec, cell, rank) — every (vector, centroid) pair ranked by dot
+    product of the L2-normalized pair (cosine order), deterministic
+    tiebreak on cell id. Centroids are embedded as literals (broadcast by
+    construction, no driver state at execute time)."""
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    v = F.col(vec_col)
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cell"),
+                        (_dot_lit(v, c_norm[i]) / F.greatest(vnorm, F.lit(1e-12))).alias(
+                            "dot"
+                        ),
+                    )
+                    for i in range(len(centroids))
+                ]
+            )
+        ).alias("c"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("c.dot"), F.asc("c.cell"))
+    return scored.select(
+        "_id", "_v", F.col("c.cell").alias("cell"), F.row_number().over(w).alias("rank")
+    )
+
+
+def assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, vec, cell): nearest centroid by cosine. The ingest-time step —
+    at scale, persist/bucket the output by cell."""
+    return (
+        _cell_ranks(df, id_col, vec_col, centroids)
+        .filter(F.col("rank") == 1)
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "cell")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 7,
+    dim: int = 64,
+) -> np.ndarray:
+    """Distributed Lloyd k-means (cosine assignment, mean update).
+
+    Init: the k rows with the smallest xxhash64(seed, id) — a deterministic
+    distributed sample independent of partitioning. Each iteration ships
+    only k×dim floats driver→executors (literals) and k×dim sums back
+    (posexplode + groupBy avg); the vector table never leaves executors.
+    Convergence to a fixpoint is not required for IVF — a fixed iteration
+    budget gives a good-enough coarse quantizer (standard practice).
+    """
+    init = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.lit(seed), F.col("i")))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([r.v for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = assign_cells(df, id_col, vec_col, centroids)
+        sums = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = np.zeros(k)
+        acc = np.zeros((k, dim))
+        for r in sums:
+            acc[r.cell, r.pos] = r.s
+            counts[r.cell] = r.n
+        nonempty = counts > 0
+        new[nonempty] = acc[nonempty] / counts[nonempty, None]
+        if np.allclose(new, centroids, atol=1e-12):
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: corpus lives in its nearest cell; each query
+    probes its nprobe nearest cells; exact cosine + window top-k within
+    the probed candidates. Returns (query_id, neighbor_id, cos, rank)."""
+    c = assign_cells(corpus, id_col, vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    q = (
+        _cell_ranks(queries, id_col, vec_col, centroids)
+        .filter(F.col("rank") <= nprobe)
+        .select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cell")
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_native("qv", "cv").alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def fit_centroids_local(
+    parquet_path: str, vec_col: str = "embedding", k: int = 8, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Serial numpy Lloyd over a small parquet file — the deterministic
+    centroid source for ORACLE queries (bit-identical regardless of Spark
+    partitioning, unlike any distributed float reduction). Same init rule
+    as kmeans_fit. Fixture-scale only; production fits distributed."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path)
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    mat = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    # deterministic init: k smallest md5-based hashes of the id (engine-
+    # portable analogue of the xxhash64 init; serial code so any stable
+    # hash works)
+    import hashlib
+
+    h = np.array(
+        [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) for i in ids]
+    )
+    centroids = mat[np.argsort(h)[:k]].copy()
+    for _ in range(iters):
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        vn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = vn @ cn.T
+        cells = sims.argmax(axis=1)
+        new = centroids.copy()
+        for c in range(k):
+            members = mat[cells == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-12):
+            break
+        centroids = new
+    return centroids

@@ -1552,6 +1552,94 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+# -- IVF ANN (coarse k-means quantizer + cell-probed search) ------------------
+
+
+def _ivf_oracle_parts():
+    """Shared centroid literals for the IVF query: fit ONCE, serially, on
+    the sf0.01 fixture (bit-deterministic regardless of partitioning), then
+    inline the SAME normalized floats into the Spark plan and the DuckDB
+    SQL. The distributed kmeans_fit is the production path (tested in
+    pytest); a distributed float reduction can't be an oracle source
+    because summation order varies with partitioning."""
+    import numpy as np
+
+    from .operators.ivf import fit_centroids_local
+
+    cents = fit_centroids_local(
+        "/root/testdata/sf0.01/embeddings.parquet", k=8, iters=10, seed=7
+    )
+    c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    values = ", ".join(
+        "(" + str(i) + ", [" + ",".join(repr(float(x)) for x in c_norm[i]) + "]::DOUBLE[])"
+        for i in range(len(cents))
+    )
+    return cents, values
+
+
+try:
+    _IVF_CENTS, _IVF_VALUES = _ivf_oracle_parts()
+    _IVF_SQL = f"""WITH cents(cell, cv) AS (VALUES {_IVF_VALUES}),
+    ranked_cells AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_inner_product(e.embedding::DOUBLE[], c.cv) /
+               greatest(sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[])), 1e-12)
+               DESC, c.cell) AS rnk
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, cell
+      FROM ranked_cells WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell
+      FROM ranked_cells WHERE rnk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             list_inner_product(qv::DOUBLE[], cv::DOUBLE[]) /
+             (sqrt(list_inner_product(qv::DOUBLE[], qv::DOUBLE[])) *
+              sqrt(list_inner_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cos
+      FROM probes q JOIN corpus c USING (cell)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3"""
+except Exception:  # fixture absent in this environment → rows-only check
+    _IVF_CENTS, _IVF_SQL = None, None
+
+
+@_q("embedding_ivf_topk", _IVF_SQL)
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse quantizer + nprobe cell search — Jégou et al. 2011's
+    IVF layout). Centroids come from the serial deterministic fit so the
+    DuckDB twin sees identical literals; operators.ivf.kmeans_fit is the
+    distributed production fit."""
+    from .operators.ivf import fit_centroids_local, ivf_topk
+
+    cents = (
+        _IVF_CENTS
+        if _IVF_CENTS is not None and sf_dir.rstrip("/").endswith("sf0.01")
+        else fit_centroids_local(f"{sf_dir}/embeddings.parquet", k=8, iters=10, seed=7)
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb, cents, "vec_id", "embedding", k=3, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", R6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # -- deterministic sampling (training-mixture weighting / splits) -------------
 # md5-bucket sampling is a pure function of (salt, id) — reproducible
 # across engines, partitionings, and retries, unlike seeded-RNG sample().

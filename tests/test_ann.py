@@ -86,6 +86,34 @@ def test_hyperplane_beats_axis_aligned_on_planted(planted):
     assert hyper >= sign - 0.05  # allow noise-level inversion, not collapse
 
 
+def test_ivf_recall_on_planted(planted):
+    """Distributed k-means fit + nprobe cell search: planted copies sit at
+    cos≈0.97 from their base, so base and copy share a cell w.h.p. and
+    recall should approach brute force."""
+    from dig_entity_resolution_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    df, truth = planted
+    cents = kmeans_fit(df, "vec_id", "embedding", k=8, iters=5, seed=7)
+    assert cents.shape == (8, 64)
+    ann = ivf_topk(df, df, cents, "vec_id", "embedding", k=10, nprobe=2)
+    rec = _query_recall(ann, truth)
+    assert rec >= 0.9, f"IVF recall {rec:.3f} < 0.9"
+
+
+def test_kmeans_fit_partition_invariant(planted):
+    """The distributed Lloyd assignment/update must not depend on input
+    partitioning (deterministic init + exact per-(cell,dim) sums)."""
+    from dig_entity_resolution_spark.operators.ivf import assign_cells, kmeans_fit
+
+    df, _ = planted
+    c1 = kmeans_fit(df, "vec_id", "embedding", k=4, iters=3, seed=5)
+    c2 = kmeans_fit(df.repartition(11), "vec_id", "embedding", k=4, iters=3, seed=5)
+    # float-sum order may differ per partitioning; cells must still agree
+    a1 = {r.vec_id: r.cell for r in assign_cells(df, "vec_id", "embedding", c1).collect()}
+    a2 = {r.vec_id: r.cell for r in assign_cells(df, "vec_id", "embedding", c2).collect()}
+    assert a1 == a2
+
+
 def test_brute_force_refuses_oversized_query_side(planted):
     df, _ = planted
     with pytest.raises(ValueError, match="max_queries"):
