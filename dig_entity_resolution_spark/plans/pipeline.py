@@ -22,6 +22,7 @@ from ..operators.blocking import (
     all_blocks,
     candidate_pairs,
     cap_block_size,
+    exclude_pairs,
     salt_blocks,
     suppress_stop_keys,
 )
@@ -34,7 +35,15 @@ from ..operators.evaluate import cluster_pairs, pairwise_prf
 from ..operators.scoring import score_pairs
 from .checkpoint import ParquetCheckpoint
 
-STAGES = ["records", "blocks", "cand_pairs", "scored_pairs", "edges", "clusters"]
+STAGES = [
+    "records",
+    "blocks_raw",
+    "blocks",
+    "cand_pairs",
+    "scored_pairs",
+    "edges",
+    "clusters",
+]
 
 
 @dataclass
@@ -109,8 +118,13 @@ class ERPipeline:
             tokenize("norm_text").alias("tokens"), "lang",
         )
 
-    def _blocks(self, records: DataFrame) -> DataFrame:
-        blocks = all_blocks(
+    def _blocks_raw(self, records: DataFrame) -> DataFrame:
+        """Per-record block keys BEFORE skew armor — the inverted index.
+        Persisted as its own stage: a record's keys depend only on the
+        record, so incremental batches append here and re-derive the
+        frequency-dependent armor (stop-keys, caps) over the union without
+        recomputing old records' keys."""
+        return all_blocks(
             records,
             strategies=self.cfg.strategies,
             min_token_len=self.cfg.min_token_len,
@@ -119,7 +133,9 @@ class ERPipeline:
             num_perm=self.cfg.num_perm,
             bands=self.cfg.bands,
         )
-        blocks = suppress_stop_keys(blocks, self.cfg.max_block_size)
+
+    def _blocks(self, raw_blocks: DataFrame) -> DataFrame:
+        blocks = suppress_stop_keys(raw_blocks, self.cfg.max_block_size)
         blocks = cap_block_size(blocks, self.cfg.block_top_n)
         return salt_blocks(blocks, self.cfg.n_salts)
 
@@ -163,7 +179,8 @@ class ERPipeline:
 
         records = stage("records", lambda: self._records(pages))
         schemas.validate_schema(records, schemas.RECORDS, "records")
-        blocks = stage("blocks", lambda: self._blocks(records))
+        raw = stage("blocks_raw", lambda: self._blocks_raw(records))
+        blocks = stage("blocks", lambda: self._blocks(raw))
         pairs = stage("cand_pairs", lambda: self._cand_pairs(blocks))
         scored = stage("scored_pairs", lambda: self._scored_pairs(pairs, records))
         edges = stage("edges", lambda: self._edges(scored))
@@ -171,6 +188,64 @@ class ERPipeline:
             "clusters", lambda: self._clusters(edges, records, resume=resume)
         )
         return clusters
+
+    def run_incremental(self, new_pages: DataFrame, base_run_id: str) -> DataFrame:
+        """Resolve a NEW batch of pages against an already-resolved corpus
+        (the crawl-frontier case: yesterday's 10^12 docs are settled,
+        today's batch arrives).
+
+        Cost model: only candidate pairs NOT already scored in the base
+        run are scored — for a disjoint batch that is exactly the pairs
+        touching a new record. Blocking armor (stop-keys, per-block caps)
+        is re-derived over the UNION of the base run's raw block index and
+        the new records' keys, so the pair set equals what a from-scratch
+        batch run over the union would produce; scoring reuses every old
+        decision. Connected components re-run over all edges (the cheap
+        stage; a warm-start from the base assignment is a further
+        optimization, not needed for correctness since cluster_id = min
+        member id is derivable from edges alone).
+
+        Semantics: APPEND-ONLY — a url already present in the base corpus
+        keeps its resolved snapshot (new recrawls of known urls are
+        dropped); old match decisions are never retracted, even if the
+        enlarged corpus pushes a block over the stop-key cap (a batch
+        re-run may then score fewer old-old pairs than this run keeps).
+        For disjoint batches under non-binding caps the result is
+        IDENTICAL to a batch run over the union (tested).
+
+        Writes the full stage set under THIS pipeline's run_id, so the
+        output warehouse is itself a valid base for the next batch
+        (chainable ingestion).
+        """
+        base = ParquetCheckpoint(self.spark, self.ckpt.root, base_run_id)
+        ck = self.ckpt
+        self.computed_stages = list(STAGES)
+
+        old_records = base.read("records")
+        rec_new = self._records(new_pages).join(
+            old_records.select("record_id"), "record_id", "left_anti"
+        )
+        records = ck.write("records", old_records.unionByName(rec_new))
+        schemas.validate_schema(records, schemas.RECORDS, "records")
+        # re-slice the new records from the written table (one source of
+        # truth; avoids recomputing normalization off new_pages lineage)
+        rec_new_w = records.join(
+            old_records.select("record_id"), "record_id", "left_anti"
+        )
+        raw = ck.write(
+            "blocks_raw",
+            base.read("blocks_raw").unionByName(self._blocks_raw(rec_new_w)),
+        )
+        blocks = ck.write("blocks", self._blocks(raw))
+        pairs = ck.write("cand_pairs", self._cand_pairs(blocks))
+        scored_old = base.read("scored_pairs")
+        todo = exclude_pairs(pairs, scored_old)
+        scored = ck.write(
+            "scored_pairs",
+            scored_old.unionByName(self._scored_pairs(todo, records)),
+        )
+        edges = ck.write("edges", self._edges(scored))
+        return ck.write("clusters", self._clusters(edges, records))
 
     def calibrate(self, labels_by_url: DataFrame, grid: int = 100) -> tuple[float, float]:
         """Sweep the match threshold against url-keyed labels using the

@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warehouse", required=True)
     p.add_argument("--run-id", default="run0")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--incremental-from",
+        help="base run-id in the same warehouse: resolve --input as a NEW "
+        "batch against that already-resolved corpus (append-only "
+        "incremental ER; only unscored pairs are scored)",
+    )
     p.add_argument("--labels", help="url-keyed labels parquet for F1 report")
     p.add_argument("--calibrate", action="store_true",
                    help="sweep the match threshold on --labels and report best (tau, F1)")
@@ -47,10 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipe = ERPipeline(spark, args.warehouse, args.run_id, cfg)
     pages = spark.read.parquet(args.input)
-    clusters = pipe.run(pages, resume=args.resume)
+    if args.incremental_from:
+        clusters = pipe.run_incremental(pages, args.incremental_from)
+    else:
+        clusters = pipe.run(pages, resume=args.resume)
     report = {
         "run_id": args.run_id,
         "resumed": args.resume,
+        "incremental_from": args.incremental_from,
         "computed_stages": pipe.computed_stages,
         "counters": pipe.ckpt.counters(),
         "n_clusters": clusters.select("cluster_id").distinct().count(),

@@ -45,6 +45,44 @@ def test_resume_identical_and_no_recompute(spark, corpus, tmp_path):
     assert sorted((r.record_id, r.cluster_id) for r in resumed.collect()) == full_rows
 
 
+def test_incremental_run_equals_batch(spark, corpus, tmp_path):
+    """Crawl-frontier ingestion: resolve batch A, then run_incremental(B)
+    against it. The final clusters must equal a from-scratch batch run
+    over A ∪ B — even though the split is by url hash, which scatters
+    planted clusters across the two batches (new records must link to
+    old cluster members). Also checks the cost contract: the incremental
+    step scores only pairs absent from the base run."""
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "whi")
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    batch_a, batch_b = pages.filter(split), pages.filter(~split)
+
+    full = ERPipeline(spark, wh, "full", ERConfig())
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in full.run(pages).collect()
+    )
+
+    base = ERPipeline(spark, wh, "base", ERConfig())
+    base.run(batch_a)
+    incr = ERPipeline(spark, wh, "incr", ERConfig())
+    got = incr.run_incremental(batch_b, base_run_id="base")
+    assert sorted((r.record_id, r.cluster_id) for r in got.collect()) == expect
+
+    # cost contract: base decisions were reused, only new pairs scored
+    n_base = base.ckpt.read("scored_pairs").count()
+    n_incr = incr.ckpt.read("scored_pairs").count()
+    n_full = full.ckpt.read("scored_pairs").count()
+    assert n_incr > n_base  # something new was scored
+    assert n_incr - n_base < n_full  # ...but far less than a full re-run
+    # and the incremental warehouse is a complete base for the NEXT batch
+    for s in ("records", "blocks_raw", "scored_pairs", "clusters"):
+        assert incr.ckpt.is_complete(s)
+    # F1 still perfect through the incremental path
+    labels = spark.read.parquet(corpus["labels"])
+    prf = incr.evaluate(got, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+
+
 def test_recrawl_dedupe_keeps_latest(spark, corpus, tmp_path):
     """Recrawled urls (same url, several warc_ts) must collapse to ONE
     record — the latest snapshot — before blocking/eval; duplicate
