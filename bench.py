@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_ann_lsh",
     "embedding_ann_hyperplane",
-    "embedding_ivf_topk",
+    "embedding_ivf_production",
     "connected_components",
     "tpch_q1_agg",
     "events_sessionize",

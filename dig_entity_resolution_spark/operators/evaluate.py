@@ -55,6 +55,42 @@ def pairwise_prf(matches: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def blocking_quality(
+    cand_pairs: DataFrame, labels: DataFrame, n_records: int
+) -> DataFrame:
+    """Standard blocking evaluation (Christen 2012 ch.7 §7.3): one row of
+
+      pair_completeness  = |true pairs ∩ candidates| / |true pairs|
+                           (blocking recall ceiling — a true pair not in
+                           any shared block can never be matched)
+      reduction_ratio    = 1 - |candidates| / C(n_records, 2)
+                           (how much of the quadratic pair space blocking
+                           pruned)
+
+    The PC/RR trade-off is THE blocking tuning signal: stop-key caps push
+    RR up and can push PC down; this operator makes the trade measurable
+    per config. Distributed: one semi-join + two counts.
+    """
+    cand = _canon(cand_pairs).select("id1", "id2")
+    true_pairs = _canon(labels.filter(F.col("label"))).select("id1", "id2")
+    covered = true_pairs.join(cand, ["id1", "id2"], "left_semi")
+    stats = true_pairs.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        covered.agg(F.count(F.lit(1)).alias("n_covered"))
+    ).crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+    total_pairs = n_records * (n_records - 1) / 2.0
+    return stats.select(
+        "n_true",
+        "n_covered",
+        "n_cand",
+        (F.col("n_covered") / F.greatest(F.col("n_true"), F.lit(1))).alias(
+            "pair_completeness"
+        ),
+        (1.0 - F.col("n_cand") / F.lit(max(total_pairs, 1.0))).alias(
+            "reduction_ratio"
+        ),
+    )
+
+
 def cluster_pairs(clusters: DataFrame) -> DataFrame:
     """All intra-cluster pairs implied by a (record_id, cluster_id) table —
     lets F1 be computed from final clusters rather than raw match edges

@@ -1625,13 +1625,51 @@ def q_embedding_ivf_topk(spark, sf_dir):
     distributed production fit."""
     from .operators.ivf import fit_centroids_local, ivf_topk
 
-    cents = (
-        _IVF_CENTS
-        if _IVF_CENTS is not None and sf_dir.rstrip("/").endswith("sf0.01")
-        else fit_centroids_local(f"{sf_dir}/embeddings.parquet", k=8, iters=10, seed=7)
-    )
+    if _IVF_CENTS is not None and sf_dir.rstrip("/").endswith("sf0.01"):
+        cents = _IVF_CENTS  # must match the SQL twin's literals exactly
+    else:
+        # standard IVF sizing: k ≈ √n cells keeps candidates ≈ nprobe·√n
+        # per query and spreads the cell join across ~√n keys (k=8 on the
+        # 5000-vector sf0.1 table measured 54s — 8 join keys, ~6M pairs;
+        # √n cells brings it to bench scale)
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        cents = fit_centroids_local(
+            f"{sf_dir}/embeddings.parquet",
+            k=max(8, int(n ** 0.5)),
+            iters=10,
+            seed=7,
+        )
     emb = _tbl(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, emb, cents, "vec_id", "embedding", k=3, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", R6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q("embedding_ivf_production", None)
+def q_embedding_ivf_production(spark, sf_dir):
+    """Production IVF config: √n cells, Arrow BLAS-matmul assignment
+    (assign_cells_arrow). No oracle: BLAS summation order differs from a
+    sequential SQL fold in the last ulp, so cell assignments near ties
+    can't be bit-matched — the native twin `embedding_ivf_topk` is the
+    correctness query; this one is the throughput path."""
+    import pyarrow.parquet as pq
+
+    from .operators.ivf import fit_centroids_local, ivf_topk
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = fit_centroids_local(
+        f"{sf_dir}/embeddings.parquet", k=max(8, int(n ** 0.5)), iters=10, seed=7
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb, cents, "vec_id", "embedding", k=3, nprobe=2, method="arrow"
+    )
     return out.select(
         "query_id",
         "neighbor_id",

@@ -114,6 +114,27 @@ def test_kmeans_fit_partition_invariant(planted):
     assert a1 == a2
 
 
+def test_ivf_arrow_assignment_agrees_with_native(planted):
+    """The BLAS-matmul production assignment must produce the same probe
+    cells (and thus the same top-k pairs) as the native-expression oracle
+    twin — ordering ties resolve identically (stable argsort, cell asc)."""
+    from dig_entity_resolution_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    df, _ = planted
+    cents = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3, seed=7)
+    nat = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(df, df, cents, "vec_id", "embedding", k=5).collect()
+    }
+    arr = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            df, df, cents, "vec_id", "embedding", k=5, method="arrow"
+        ).collect()
+    }
+    assert nat == arr
+
+
 def test_brute_force_refuses_oversized_query_side(planted):
     df, _ = planted
     with pytest.raises(ValueError, match="max_queries"):

@@ -83,6 +83,59 @@ def test_incremental_run_equals_batch(spark, corpus, tmp_path):
     assert prf.f1 >= 0.99, prf.asDict()
 
 
+def test_incremental_empty_batch_is_identity(spark, corpus, tmp_path):
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "whe")
+    base = ERPipeline(spark, wh, "base", ERConfig())
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in base.run(pages).collect()
+    )
+    incr = ERPipeline(spark, wh, "incr", ERConfig())
+    got = incr.run_incremental(pages.filter(F.lit(False)), base_run_id="base")
+    assert sorted((r.record_id, r.cluster_id) for r in got.collect()) == expect
+    # nothing new was scored
+    assert (
+        incr.ckpt.read("scored_pairs").count()
+        == base.ckpt.read("scored_pairs").count()
+    )
+
+
+def test_blocking_quality_metrics(spark, corpus, tmp_path):
+    """Pair completeness must be 1.0 on the planted corpus (every true
+    pair shares the cluster anchor token) while blocking prunes >90% of
+    the quadratic pair space."""
+    from dig_entity_resolution_spark.operators.evaluate import blocking_quality
+
+    pages = spark.read.parquet(corpus["pages"])
+    labels = spark.read.parquet(corpus["labels"])
+
+    def quality(cfg, name):
+        pipe = ERPipeline(spark, str(tmp_path / name), "q", cfg)
+        pipe.run(pages)
+        cand = pipe.ckpt.read("cand_pairs")
+        records = pipe.ckpt.read("records").select("record_id", "url")
+        l1 = records.select(F.col("url").alias("url1"), F.col("record_id").alias("id1"))
+        l2 = records.select(F.col("url").alias("url2"), F.col("record_id").alias("id2"))
+        id_labels = (
+            labels.join(l1, "url1").join(l2, "url2").select("id1", "id2", "label")
+        )
+        return blocking_quality(cand, id_labels, records.count()).collect()[0]
+
+    loose = quality(ERConfig(), "whq1")
+    # this 140-doc fixture shares a tiny vocab, so default caps keep most
+    # of the quadratic space (RR≈0.1 measured) — the interesting property
+    # is the PC/RR TRADE: tighter caps must raise RR without losing PC
+    # (cluster anchors are rare tokens; their blocks are far below 10)
+    tight = quality(ERConfig(max_block_size=10, block_top_n=10), "whq2")
+    assert loose.pair_completeness == 1.0, loose.asDict()
+    assert tight.pair_completeness == 1.0, tight.asDict()
+    assert tight.reduction_ratio > loose.reduction_ratio + 0.3, (
+        loose.asDict(),
+        tight.asDict(),
+    )
+    assert 0.0 < loose.reduction_ratio < 1.0
+
+
 def test_recrawl_dedupe_keeps_latest(spark, corpus, tmp_path):
     """Recrawled urls (same url, several warc_ts) must collapse to ONE
     record — the latest snapshot — before blocking/eval; duplicate
