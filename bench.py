@@ -206,7 +206,9 @@ def main() -> None:
     # interleave (spark, control) per level: each pair samples the same
     # minutes of shared-VM noise, so the efficiency-vs-control ratio
     # cancels box drift between the 32- and 8-core measurement windows
-    r32 = _scale_worker("measure", "32", hydrated, "3", pin_cpus=32)
+    # SYMMETRIC best-of-2 at both levels: min-of-3 vs min-of-2 would bias
+    # the 32-core wall low and inflate the efficiency ratio (r2 review)
+    r32 = _scale_worker("measure", "32", hydrated, "2", pin_cpus=32)
     er["n_pairs"] = r32["n"]
     er["pairs_per_sec_32"] = r32["pairs_per_sec"]
     er["scoring_sec_32"] = r32["sec"]

@@ -20,8 +20,10 @@ TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
 def canonical_url(url: Column | str) -> Column:
     """Canonical form of a URL for identity/dedup:
 
-    * scheme + host lowercased, default ports (:80/:443) dropped
-    * fragment dropped
+    * scheme + host lowercased, the scheme's DEFAULT port dropped
+      (:80 for http, :443 for https — never cross-scheme, r2 review)
+    * fragment dropped FIRST (a '?' inside a fragment must not resurrect
+      as a query string, r2 review)
     * tracking params (utm_*, fbclid, gclid, ...) dropped
     * remaining query params sorted bytewise
     * trailing slash stripped from the path
@@ -30,13 +32,17 @@ def canonical_url(url: Column | str) -> Column:
     the expression never NULLs a whole row.
     """
     u = F.col(url) if isinstance(url, str) else url
-    u = F.trim(u)
+    u = F.regexp_replace(F.trim(u), r"#.*$", "")  # fragment dies first
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),

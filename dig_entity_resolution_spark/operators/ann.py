@@ -48,6 +48,10 @@ def _hyperplane_bucket(vec_col: str, bits: int, dim: int, seed: int = 7) -> F.Co
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bits, dim))
     v = F.col(vec_col)
+    # zip_with pads the shorter side with NULLs, which would propagate to
+    # NULL dots → NULL bits → concat_ws silently dropping them → every row
+    # in ONE bucket (an O(n²) join). Fail loudly on a dim mismatch instead.
+    dim_ok = F.size(v) == dim
     parts = []
     for j in range(bits):
         r = F.array(*[F.lit(float(x)) for x in planes[j]])
@@ -57,7 +61,16 @@ def _hyperplane_bucket(vec_col: str, bits: int, dim: int, seed: int = 7) -> F.Co
             lambda acc, x: acc + x,
         )
         parts.append((dot > 0).cast("int").cast("string"))
-    return F.concat_ws("", *parts)
+    bucket = F.concat_ws("", *parts)
+    return F.when(dim_ok, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane LSH: embedding length != dim={dim} (got "),
+                F.size(v).cast("string"),
+                F.lit(") — pass dim= explicitly"),
+            )
+        )
+    )
 
 
 def bucket_expr(
@@ -186,6 +199,14 @@ def lsh_topk(
     keep on near-dup workloads (cos ≥ ~0.8), which tests/test_ann.py
     verifies with a planted corpus (recall ≥ 0.9 at defaults).
     """
+
+    if n_tables > 1 and family == "sign":
+        raise ValueError(
+            "n_tables > 1 requires a seeded LSH family: the axis-aligned "
+            "'sign' family ignores the seed, so L tables would be L "
+            "identical copies — L× join cost, zero recall gain. Use "
+            "family='hyperplane'."
+        )
 
     def flip(b: F.Column, i: int) -> F.Column:
         # flip bit i of a raw (unprefixed) bits-long bucket string

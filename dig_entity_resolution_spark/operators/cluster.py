@@ -107,6 +107,15 @@ def connected_components(
 
     cur = None
     start_round = 0
+    if ckpt is not None and not resume:
+        # fresh durable run: wipe EVERY stale round table first. A prior
+        # run under this run_id may have converged later than this one
+        # will — leftover cc_round{i} tables beyond the new convergence
+        # point would be fast-forwarded over by a future resume, silently
+        # returning clusters from the OLD edge set (r2 review).
+        ckpt.invalidate(f"{stage_prefix}_init")
+        for i in range(max_rounds):
+            ckpt.invalidate(f"{stage_prefix}_round{i}")
     if ckpt is not None and resume:
         done = 0
         while done < max_rounds and ckpt.is_complete(
@@ -123,6 +132,7 @@ def connected_components(
     # resume note: prev_fp from the resumed table is exactly the convergence
     # test — if the next round reproduces it, the closure was already done
     prev_fp = _fingerprint(cur) if start_round > 0 else None
+    last_round = start_round - 1
     for rnd in range(start_round, max_rounds):
         sym = _symmetrize(cur)
         ls = _large_star(sym)
@@ -139,9 +149,15 @@ def connected_components(
             ).dropDuplicates(["src", "dst"]),
         )
         fp = _fingerprint(cur)
+        last_round = rnd
         if fp == prev_fp:
             break
         prev_fp = fp
+    if ckpt is not None:
+        # drop any stale rounds a previous (longer) run left beyond this
+        # run's convergence point, so resume never fast-forwards past it
+        for i in range(last_round + 1, max_rounds):
+            ckpt.invalidate(f"{stage_prefix}_round{i}")
     # At convergence every edge is (root, member) star edge with src = min.
     members = cur.select(F.col("dst").alias("record_id"), F.col("src").alias("cluster_id"))
     roots = cur.select(F.col("src").alias("record_id"), F.col("src").alias("cluster_id"))

@@ -123,7 +123,7 @@ def simhash_dup_pairs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     n_bands: int | None = None,
     hash_fn: str = "xxhash64",
     max_bucket: int = 200,
@@ -132,9 +132,17 @@ def simhash_dup_pairs(
 
     Pigeonhole guarantee: a pair differing in ≤ n_bands-1 bits shares at
     least one exact band, so blocking is lossless iff n_bands > max_hamming.
-    n_bands therefore DEFAULTS to max_hamming + 1 (ADVICE r1: the old fixed
-    n_bands=4 silently missed hamming 4-6 pairs). Pass n_bands explicitly to
-    trade recall for fewer/larger buckets.
+    n_bands DEFAULTS to max_hamming + 1 (ADVICE r1: a fixed n_bands=4 with
+    max_hamming=6 silently missed hamming 4-6 pairs).
+
+    SCALE TRADE (r2 review): band width = 60 // n_bands bits, so a band
+    has only 2^width distinct values — with n_bands=7 (8-bit bands) a
+    corpus beyond ~max_bucket·256 docs saturates EVERY bucket and the
+    hot-key filter suppresses them all (silent recall collapse). The
+    default max_hamming is therefore 3 → 4 bands of 15 bits (32k values
+    per band, viable to millions of docs). Raising max_hamming keeps the
+    pigeonhole guarantee but narrows bands; check 2^(60//(max_hamming+1))
+    against corpus_size/max_bucket before doing so.
 
     Returns (id1, id2, hamming) with hamming ≤ max_hamming.
     """

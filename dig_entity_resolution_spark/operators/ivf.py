@@ -143,7 +143,6 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 10,
     seed: int = 7,
-    dim: int = 64,
 ) -> np.ndarray:
     """Distributed Lloyd k-means (cosine assignment, mean update).
 
@@ -153,6 +152,8 @@ def kmeans_fit(
     (posexplode + groupBy avg); the vector table never leaves executors.
     Convergence to a fixpoint is not required for IVF — a fixed iteration
     budget gives a good-enough coarse quantizer (standard practice).
+    The vector dimensionality is taken from the data (r2 review: a dim
+    parameter defaulting to 64 crashed the accumulator on any other width).
     """
     init = (
         df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -162,6 +163,7 @@ def kmeans_fit(
         .collect()
     )
     centroids = np.array([r.v for r in init], dtype=np.float64)
+    dim = centroids.shape[1]
     for _ in range(iters):
         assigned = assign_cells(df, id_col, vec_col, centroids)
         sums = (

@@ -93,17 +93,20 @@ class ERPipeline:
         # One shuffle on url, inherent to recrawl dedup; at 10^12 docs this
         # rides the same partitioning the record_id repartition needs anyway.
         payload = [c for c in ("text", "html") if c in pages.columns]
-        if "warc_ts" in pages.columns:
-            w = Window.partitionBy("url").orderBy(
-                F.col("warc_ts").desc(), F.xxhash64(*payload)
-            )
-            pages = (
-                pages.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            pages = pages.dropDuplicates(["url"])
+        order = (
+            [F.col("warc_ts").desc(), F.xxhash64(*payload)]
+            if "warc_ts" in pages.columns
+            # no timestamp: still a DETERMINISTIC pick (payload-hash order)
+            # — dropDuplicates would keep whichever row a task saw first,
+            # so reruns/retries could resolve different snapshots (r2 rev.)
+            else [F.xxhash64(*payload)]
+        )
+        w = Window.partitionBy("url").orderBy(*order)
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         text = (
             extract_text_col("html") if self.cfg.use_extractor else F.col("text")
         )
@@ -217,6 +220,13 @@ class ERPipeline:
         output warehouse is itself a valid base for the next batch
         (chainable ingestion).
         """
+        if base_run_id == self.ckpt.run_id:
+            raise ValueError(
+                "run_incremental must write under a run_id different from "
+                f"base_run_id={base_run_id!r}: the base tables are read "
+                "lazily while the new stages overwrite the same paths "
+                "(read-under-overwrite corrupts the base corpus)"
+            )
         base = ParquetCheckpoint(self.spark, self.ckpt.root, base_run_id)
         ck = self.ckpt
         self.computed_stages = list(STAGES)

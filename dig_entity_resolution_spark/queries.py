@@ -1406,7 +1406,7 @@ def q_events_hll_sketch(spark, sf_dir):
 
 @_q(
     "url_canonicalize",
-    """WITH urls AS (
+    """WITH raw_urls AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN
                'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id
@@ -1415,30 +1415,37 @@ def q_events_hll_sketch(spark, sf_dir):
                'www.' || source || '.example.com/page/' || doc_id
              END AS url
       FROM documents
+    ),
+    -- fragment is stripped FIRST, mirroring functions/webtext.py
+    urls AS (
+      SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS url
+      FROM raw_urls
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/$', '') AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
+          '&') AS sorted_q
+      FROM urls
     )
     SELECT doc_id,
-      CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+      CASE WHEN scheme <> ''
       THEN
-        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-        || regexp_replace(
-             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-             ':(80|443)$', '')
-        || regexp_replace(
-             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-             '/$', '')
-        || CASE WHEN array_to_string(list_sort(list_filter(
-                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                  p -> p <> '' AND NOT regexp_matches(p,
-                    '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
-                  '&') <> ''
-           THEN '?' || array_to_string(list_sort(list_filter(
-                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                  p -> p <> '' AND NOT regexp_matches(p,
-                    '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
-                  '&')
-           ELSE '' END
-      ELSE lower(trim(url)) END AS canon_url
-    FROM urls""",
+        scheme || '://'
+        || (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END)
+        || path
+        || (CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END)
+      ELSE lower(url) END AS canon_url
+    FROM parts""",
 )
 def q_url_canonicalize(spark, sf_dir):
     """Tracking-param stripping + scheme/host normalization — the
@@ -1625,13 +1632,12 @@ def q_embedding_ivf_topk(spark, sf_dir):
     distributed production fit."""
     from .operators.ivf import fit_centroids_local, ivf_topk
 
-    if _IVF_CENTS is not None and sf_dir.rstrip("/").endswith("sf0.01"):
-        cents = _IVF_CENTS  # must match the SQL twin's literals exactly
-    else:
-        # standard IVF sizing: k ≈ √n cells keeps candidates ≈ nprobe·√n
-        # per query and spreads the cell join across ~√n keys (k=8 on the
-        # 5000-vector sf0.1 table measured 54s — 8 join keys, ~6M pairs;
-        # √n cells brings it to bench scale)
+    if _IVF_CENTS is not None:
+        # the quantizer is a fixed model artifact shared with the SQL twin
+        # — using it at EVERY sf keeps Spark and oracle in agreement at any
+        # scale (r2 review: refitting per sf_dir made the twin sf0.01-only)
+        cents = _IVF_CENTS
+    else:  # fixture absent (rows-only mode): fit locally, √n cells
         import pyarrow.parquet as pq
 
         n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows

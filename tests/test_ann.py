@@ -135,6 +135,44 @@ def test_ivf_arrow_assignment_agrees_with_native(planted):
     assert nat == arr
 
 
+def test_multi_table_requires_seeded_family(planted):
+    """n_tables>1 with the unseeded 'sign' family would be L identical
+    tables (L× cost, zero recall) — must refuse (r2 review)."""
+    df, _ = planted
+    with pytest.raises(ValueError, match="seeded"):
+        lsh_topk(df, df, "vec_id", "embedding", n_tables=4)  # family='sign'
+
+
+def test_hyperplane_dim_mismatch_fails_loudly(spark):
+    """A wrong dim would NULL every dot product and collapse all rows into
+    one bucket (silent O(n²) join) — must raise instead (r2 review)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [0.5] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as e:
+        lsh_topk(
+            df, df, "vec_id", "embedding", family="hyperplane", dim=64
+        ).collect()
+    assert "dim" in str(e.value)
+
+
+def test_kmeans_fit_non_default_dim(spark):
+    """kmeans_fit derives width from the data (r2 review: a dim=64 default
+    crashed the accumulator on any other width)."""
+    from dig_entity_resolution_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2, seed=1)
+    assert cents.shape == (4, 16)
+    out = ivf_topk(df, df, cents, "vec_id", "embedding", k=3, nprobe=2)
+    assert out.count() > 0
+
+
 def test_brute_force_refuses_oversized_query_side(planted):
     df, _ = planted
     with pytest.raises(ValueError, match="max_queries"):

@@ -108,6 +108,35 @@ def test_cc_durable_checkpoint_resumes_mid_closure(spark, tmp_path):
     assert ck.is_complete("cc_round1")
 
 
+def test_cc_durable_fresh_run_wipes_stale_rounds(spark, tmp_path):
+    """A prior run under the same run_id may have converged LATER than the
+    current edge set does; its leftover cc_round tables must not be
+    fast-forwarded over by a later resume (r2 review: that silently
+    returned clusters from the OLD edge set)."""
+    from dig_entity_resolution_spark.plans.checkpoint import ParquetCheckpoint
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "cc_stale")
+    # run A: long chain → converges after several rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], ["src", "dst"]
+    )
+    connected_components(chain, ckpt=ck).collect()
+    assert ck.is_complete("cc_round1")  # multiple rounds were written
+    # run B (fresh, same run_id): tiny disjoint edge set, converges round 0
+    tiny = spark.createDataFrame([(100, 101)], ["src", "dst"])
+    got_b = {
+        r.record_id: r.cluster_id
+        for r in connected_components(tiny, ckpt=ck).collect()
+    }
+    assert got_b == {100: 100, 101: 100}
+    # resume must reproduce run B, not fast-forward into run A's leftovers
+    resumed = {
+        r.record_id: r.cluster_id
+        for r in connected_components(tiny, ckpt=ck, resume=True).collect()
+    }
+    assert resumed == got_b
+
+
 def test_cc_durable_equals_local_checkpoint(spark, tmp_path):
     from dig_entity_resolution_spark.plans.checkpoint import ParquetCheckpoint
 

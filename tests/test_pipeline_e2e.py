@@ -83,6 +83,17 @@ def test_incremental_run_equals_batch(spark, corpus, tmp_path):
     assert prf.f1 >= 0.99, prf.asDict()
 
 
+def test_incremental_refuses_self_base(spark, corpus, tmp_path):
+    """base tables are read lazily while new stages overwrite the same
+    paths — same-run-id incremental would corrupt the base (r2 review)."""
+    pages = spark.read.parquet(corpus["pages"])
+    pipe = ERPipeline(spark, str(tmp_path / "whs"), "same", ERConfig())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different from"):
+        pipe.run_incremental(pages, base_run_id="same")
+
+
 def test_incremental_empty_batch_is_identity(spark, corpus, tmp_path):
     pages = spark.read.parquet(corpus["pages"])
     wh = str(tmp_path / "whe")

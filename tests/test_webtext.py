@@ -35,6 +35,12 @@ def _canon(spark, url: str) -> str:
         ("  https://h.com/p  ", "https://h.com/p"),  # trimmed
         ("no-scheme.example.com/Path", "no-scheme.example.com/path"),  # passthrough
         ("ftp://Files.example.com/Pub/", "ftp://files.example.com/Pub"),
+        # '?' INSIDE a fragment must not resurrect as a query (r2 review)
+        ("http://h.com/p#sec?b=1", "http://h.com/p"),
+        # default-port stripping is scheme-specific: :80 on https is a
+        # real non-default port and must survive (r2 review)
+        ("https://h.com:80/x", "https://h.com:80/x"),
+        ("http://h.com:443/x", "http://h.com:443/x"),
     ],
 )
 def test_canonical_url(spark, url, expect):
