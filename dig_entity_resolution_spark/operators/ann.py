@@ -62,12 +62,15 @@ def _hyperplane_bucket(vec_col: str, bits: int, dim: int, seed: int = 7) -> F.Co
         )
         parts.append((dot > 0).cast("int").cast("string"))
     bucket = F.concat_ws("", *parts)
+    # NULL embeddings also land here (size(NULL) is NULL → when() falls
+    # through); coalesce keeps the error message intact in that case
+    # instead of raise_error(NULL)
     return F.when(dim_ok, bucket).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"hyperplane LSH: embedding length != dim={dim} (got "),
-                F.size(v).cast("string"),
-                F.lit(") — pass dim= explicitly"),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                F.lit(") — pass dim= explicitly, or filter NULL embeddings"),
             )
         )
     )

@@ -1629,7 +1629,14 @@ def q_embedding_ivf_topk(spark, sf_dir):
     """IVF ANN (coarse quantizer + nprobe cell search — Jégou et al. 2011's
     IVF layout). Centroids come from the serial deterministic fit so the
     DuckDB twin sees identical literals; operators.ivf.kmeans_fit is the
-    distributed production fit."""
+    distributed production fit.
+
+    SCALE NOTE: this is the CORRECTNESS twin — the quantizer is pinned to
+    8 cells (the literals baked into the static oracle SQL), so per-cell
+    candidates grow as n/8 and the query degrades toward quadratic on
+    large tables. Throughput readers should look at
+    `embedding_ivf_production` (√n cells, Arrow assignment), the entry the
+    bench runs."""
     from .operators.ivf import fit_centroids_local, ivf_topk
 
     if _IVF_CENTS is not None:

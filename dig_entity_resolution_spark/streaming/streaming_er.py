@@ -7,9 +7,17 @@ so each micro-batch runs `ERPipeline.run_incremental` against the previous
 micro-batch's warehouse run — Structured Streaming provides exactly-once
 file discovery + restart offsets, the ER checkpoint tables provide the
 entity state. Cost per micro-batch is proportional to the NEW pairs only
-(see plans/pipeline.run_incremental); the clusters table after batch i is
-identical to a from-scratch batch run over batches 0..i (the equivalence
-the batch tests prove).
+(see plans/pipeline.run_incremental); for url-DISJOINT micro-batches the
+clusters table after batch i is identical to a from-scratch batch run
+over batches 0..i (the equivalence the tests prove).
+
+Recrawl caveat: run_incremental is APPEND-ONLY — a url resolved in an
+earlier micro-batch keeps its FIRST-seen snapshot, while a from-scratch
+batch run over the union keeps the LATEST warc_ts snapshot. When the
+stream can recrawl urls, either dedup upstream
+(streaming.incremental.dedup_recrawled_urls) or schedule periodic full
+re-runs; in-place record updates would invalidate old scored pairs and
+are out of scope for the incremental path.
 
 At 10^12-doc scale this is the standing-ingest layout: one long-lived
 streaming query, warehouse runs named by batch id, each run a valid resume
@@ -19,8 +27,8 @@ point AND a valid base for the next batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
+from .. import schemas
 from ..plans.pipeline import ERConfig, ERPipeline
 
 
@@ -80,21 +88,43 @@ class StreamingER:
         return None
 
     def clusters(self) -> DataFrame:
-        if self.latest_run_id is None:
-            raise RuntimeError("no micro-batch has completed yet")
+        """Latest clusters table. Restart-safe: after a process restart
+        (fresh StreamingER, no new files → foreachBatch never fires) the
+        newest complete run is recovered by listing the warehouse dir
+        (local/NFS paths; on an object store pass latest_run_id in)."""
+        import os
+        import re
+
         from ..plans.checkpoint import ParquetCheckpoint
 
-        return ParquetCheckpoint(
-            self.spark, self.warehouse, self.latest_run_id
-        ).read("clusters")
+        run_id = self.latest_run_id
+        if run_id is None:
+            pat = re.compile(rf"^{re.escape(self.run_prefix)}_b(\d+)$")
+            try:
+                batch_ids = sorted(
+                    (
+                        int(m.group(1))
+                        for d in os.listdir(self.warehouse)
+                        if (m := pat.match(d))
+                    ),
+                    reverse=True,
+                )
+            except FileNotFoundError:
+                batch_ids = []
+            for b in batch_ids:
+                cand = ERPipeline(
+                    self.spark, self.warehouse, self._run_id(b), self.cfg
+                )
+                if cand.ckpt.is_complete("clusters"):
+                    run_id = self._run_id(b)
+                    break
+        if run_id is None:
+            raise RuntimeError("no completed micro-batch run found")
+        return ParquetCheckpoint(self.spark, self.warehouse, run_id).read(
+            "clusters"
+        )
 
 
-PAGES_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ]
-)
+# the stream reader needs an explicit schema; reuse the batch pipeline's
+# canonical pages schema so the two paths can never drift
+PAGES_SCHEMA = schemas.PAGES

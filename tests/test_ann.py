@@ -152,11 +152,11 @@ def test_hyperplane_dim_mismatch_fails_loudly(spark):
     df = spark.createDataFrame(
         [(1, [1.0] * 16), (2, [0.5] * 16)], "vec_id long, embedding array<double>"
     )
-    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as e:
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as e:
         lsh_topk(
             df, df, "vec_id", "embedding", family="hyperplane", dim=64
         ).collect()
-    assert "dim" in str(e.value)
+    assert "pass dim= explicitly" in str(e.value)
 
 
 def test_kmeans_fit_non_default_dim(spark):

@@ -24,7 +24,7 @@ def _drain(spark, in_dir, ckpt_dir, ser):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within 300s"
 
 
 def test_streaming_er_equals_batch(spark, tmp_path):
@@ -81,3 +81,10 @@ def test_streaming_er_replay_is_idempotent(spark, tmp_path):
         (r.record_id, r.cluster_id) for r in ser.clusters().collect()
     )
     assert before == after
+    # restart recovery: a FRESH sink (post-crash) finds the newest complete
+    # run on disk even though no micro-batch has fired in this process
+    ser2 = StreamingER(spark, str(tmp_path / "whr"), ERConfig())
+    recovered = sorted(
+        (r.record_id, r.cluster_id) for r in ser2.clusters().collect()
+    )
+    assert recovered == before
