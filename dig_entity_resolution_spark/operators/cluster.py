@@ -81,6 +81,7 @@ def connected_components(
     ckpt=None,
     resume: bool = False,
     stage_prefix: str = "cc",
+    stats: dict | None = None,
 ) -> DataFrame:
     """E2–E5: returns (record_id, cluster_id) for every node appearing in
     `edges`; cluster_id = min record_id in the component.
@@ -98,6 +99,11 @@ def connected_components(
         the loop fast-forwards past complete rounds, so a crash mid-
         closure (the 10^12-doc case: dozens of rounds, hours each)
         restarts at the last finished round, not at round 0.
+
+    When `stats` (a dict) is passed, it is filled with {"rounds": number of
+    large+small rounds actually executed by THIS call, "last_round": index
+    of the final round table} — the warm-start tests assert a measured
+    round-count drop from it.
     """
 
     def _cut(name: str, df: DataFrame) -> DataFrame:
@@ -112,10 +118,13 @@ def connected_components(
         # run under this run_id may have converged later than this one
         # will — leftover cc_round{i} tables beyond the new convergence
         # point would be fast-forwarded over by a future resume, silently
-        # returning clusters from the OLD edge set (r2 review).
+        # returning clusters from the OLD edge set (r2 review). Wipe by
+        # LISTING what is actually on disk, not range(max_rounds): a prior
+        # run with a LARGER round budget left tables beyond this run's
+        # range (ADVICE r2).
         ckpt.invalidate(f"{stage_prefix}_init")
-        for i in range(max_rounds):
-            ckpt.invalidate(f"{stage_prefix}_round{i}")
+        for name in ckpt.list_stages(f"{stage_prefix}_round"):
+            ckpt.invalidate(name)
     if ckpt is not None and resume:
         done = 0
         while done < max_rounds and ckpt.is_complete(
@@ -155,9 +164,20 @@ def connected_components(
         prev_fp = fp
     if ckpt is not None:
         # drop any stale rounds a previous (longer) run left beyond this
-        # run's convergence point, so resume never fast-forwards past it
-        for i in range(last_round + 1, max_rounds):
-            ckpt.invalidate(f"{stage_prefix}_round{i}")
+        # run's convergence point, so resume never fast-forwards past it —
+        # again by listing (ADVICE r2: range(max_rounds) misses tables a
+        # prior larger-budget run wrote past this run's range)
+        plen = len(f"{stage_prefix}_round")
+        for name in ckpt.list_stages(f"{stage_prefix}_round"):
+            try:
+                i = int(name[plen:])
+            except ValueError:
+                continue
+            if i > last_round:
+                ckpt.invalidate(name)
+    if stats is not None:
+        stats["rounds"] = last_round + 1 - start_round
+        stats["last_round"] = last_round
     # At convergence every edge is (root, member) star edge with src = min.
     members = cur.select(F.col("dst").alias("record_id"), F.col("src").alias("cluster_id"))
     roots = cur.select(F.col("src").alias("record_id"), F.col("src").alias("cluster_id"))

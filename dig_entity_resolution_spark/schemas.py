@@ -86,6 +86,7 @@ META = T.StructType(
         T.StructField("run_id", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("rows_out", T.LongType(), False),
+        T.StructField("total_rows", T.LongType(), False),
         T.StructField("ts", T.TimestampType(), False),
     ]
 )

@@ -57,6 +57,12 @@ class StreamingER:
         self.cfg = config or ERConfig()
         self.run_prefix = run_prefix
         self.latest_run_id: str | None = None
+        # cache of the newest known-complete run: _latest_before would
+        # otherwise probe batch_id-1..0 completeness markers EVERY
+        # micro-batch — O(batch_id) probes per batch, quadratic over a
+        # standing stream (ADVICE r2). The scan remains only as the
+        # post-restart fallback (cache empty, one scan, then cached).
+        self._last_complete: str | None = None
 
     def _run_id(self, batch_id: int) -> str:
         return f"{self.run_prefix}_b{batch_id}"
@@ -70,13 +76,15 @@ class StreamingER:
         pipe = ERPipeline(self.spark, self.warehouse, run_id, self.cfg)
         if pipe.ckpt.is_complete("clusters"):  # replayed, already done
             self.latest_run_id = run_id
+            self._last_complete = run_id
             return
-        base = self._latest_before(batch_id)
+        base = self._last_complete or self._latest_before(batch_id)
         if base is None:
             pipe.run(batch_df)
         else:
             pipe.run_incremental(batch_df, base_run_id=base)
         self.latest_run_id = run_id
+        self._last_complete = run_id
 
     def _latest_before(self, batch_id: int) -> str | None:
         """Most recent COMPLETE run preceding batch_id (gaps can exist if

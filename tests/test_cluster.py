@@ -149,3 +149,26 @@ def test_cc_durable_equals_local_checkpoint(spark, tmp_path):
         for r in connected_components(edf, ckpt=ck).collect()
     }
     assert local == durable
+
+
+def test_cc_durable_wipes_rounds_beyond_smaller_budget(spark, tmp_path):
+    """ADVICE r2: a prior run with a LARGER max_rounds leaves round tables
+    that this run's range(max_rounds) never visits. The fresh-run wipe must
+    go by LISTING the disk — otherwise an unconverged small-budget run
+    followed by resume=True could fast-forward contiguously across the
+    budget boundary into complete round tables from the OLD edge set."""
+    from dig_entity_resolution_spark.plans.checkpoint import ParquetCheckpoint
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "cc_budget")
+    # plant a stale round table far beyond the next run's budget
+    stale = spark.createDataFrame([(999, 1000)], ["src", "dst"])
+    ck.write("cc_round7", stale)
+    assert ck.is_complete("cc_round7")
+    tiny = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {
+        r.record_id: r.cluster_id
+        for r in connected_components(tiny, ckpt=ck, max_rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1}
+    assert "cc_round7" not in ck.list_stages("cc_round")
+    assert not ck.is_complete("cc_round7")
