@@ -6,8 +6,11 @@ ER pipeline is a multi-stage batch DAG with its own checkpointed lineage,
 so each micro-batch runs `ERPipeline.run_incremental` against the previous
 micro-batch's warehouse run — Structured Streaming provides exactly-once
 file discovery + restart offsets, the ER checkpoint tables provide the
-entity state. Cost per micro-batch is proportional to the NEW pairs only
-(see plans/pipeline.run_incremental); for url-DISJOINT micro-batches the
+entity state. Cost per micro-batch is proportional to the DELTA at every
+repeated stage: candidate generation is semi-joined to blocks containing a
+new record, only never-scored pairs are scored, and connected components
+warm-starts from the previous run's converged star edges (see
+plans/pipeline.run_incremental). For url-DISJOINT micro-batches the
 clusters table after batch i is identical to a from-scratch batch run
 over batches 0..i (the equivalence the tests prove).
 

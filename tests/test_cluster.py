@@ -172,3 +172,35 @@ def test_cc_durable_wipes_rounds_beyond_smaller_budget(spark, tmp_path):
     assert got == {1: 1, 2: 1}
     assert "cc_round7" not in ck.list_stages("cc_round")
     assert not ck.is_complete("cc_round7")
+
+
+def test_cc_warm_start_from_star_edges_converges_faster(spark):
+    """The incremental pipeline warm-starts CC from the base run's
+    converged star edges ∪ new edges (VERDICT r2 item 2). Components must
+    be identical to running over the raw old ∪ new edge list, in strictly
+    fewer rounds — the measured round-count drop on a long chain whose
+    from-scratch closure needs O(log n) rounds."""
+    old = [(i, i + 1) for i in range(1, 40)]
+    new = [(40, 41)]
+    scratch_stats: dict = {}
+    scratch = {
+        r.record_id: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame(old + new, ["src", "dst"]),
+            stats=scratch_stats,
+        ).collect()
+    }
+    star = [(1, i) for i in range(2, 41)]  # the converged base closure
+    warm_stats: dict = {}
+    warm = {
+        r.record_id: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame(star + new, ["src", "dst"]),
+            stats=warm_stats,
+        ).collect()
+    }
+    assert warm == scratch
+    assert warm_stats["rounds"] < scratch_stats["rounds"], (
+        warm_stats,
+        scratch_stats,
+    )
