@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..extract import extract_text_col
-from ..functions.hashing import record_id_from_url
+from ..functions.hashing import (
+    id_collisions,
+    record_id128_from_url,
+    record_id_from_url,
+)
 from ..functions.normalize import normalize_text, tokenize
 from ..operators.blocking import (
     all_blocks,
@@ -62,6 +66,16 @@ class ERConfig:
         default_factory=lambda: {"jw": 0.35, "lev_sim": 0.25, "tfidf_cos": 0.4}
     )
     use_extractor: bool = False  # True when text must be derived from html
+    # record-id width (VERDICT r2 item 3): 64 = xxhash64(url), half-width
+    # shuffle keys but ~27k expected silent url merges at 10^12 docs;
+    # 128 = struct<hi,lo> of two seeded xxhash64 halves (collision
+    # expectation < 3e-14 at that scale). Every downstream operator is
+    # id-type-agnostic, so this is a pure config switch.
+    id_bits: int = 64
+    # run the id_collisions() gate right after the records stage and fail
+    # fast when distinct urls share an id (the signal to flip id_bits=128);
+    # costs one groupBy over records, so opt-in
+    check_id_collisions: bool = False
     # durable_cc: truncate connected-components lineage through checkpoint
     # stage tables (cc_round{i}) instead of localCheckpoint — fault-tolerant
     # and resumable mid-closure; the right setting on a real cluster where
@@ -112,15 +126,26 @@ class ERPipeline:
         text = (
             extract_text_col("html") if self.cfg.use_extractor else F.col("text")
         )
+        ts = (
+            F.col("warc_ts")
+            if "warc_ts" in pages.columns
+            else F.lit(None).cast("timestamp")
+        )
+        make_id = (
+            record_id128_from_url
+            if self.cfg.id_bits == 128
+            else record_id_from_url
+        )
         rec = pages.select(
-            record_id_from_url("url").alias("record_id"),
+            make_id("url").alias("record_id"),
             "url",
             text.alias("text"),
             "lang",
+            ts.alias("warc_ts"),
         ).withColumn("norm_text", normalize_text("text"))
         return rec.select(
             "record_id", "url", "text", "norm_text",
-            tokenize("norm_text").alias("tokens"), "lang",
+            tokenize("norm_text").alias("tokens"), "lang", "warc_ts",
         )
 
     def _blocks_raw(self, records: DataFrame) -> DataFrame:
@@ -171,6 +196,23 @@ class ERPipeline:
         )
         return clusters_with_singletons(assign, records)
 
+    def _gate_records(self, records: DataFrame) -> DataFrame:
+        """Schema gate (id-width aware) + the opt-in id-collision gate:
+        a 64-bit id collision silently merges distinct urls into one
+        record — fail fast and tell the operator to flip id_bits=128."""
+        schemas.validate_schema(
+            records, schemas.records_schema(self.cfg.id_bits), "records"
+        )
+        if self.cfg.check_id_collisions:
+            hit = id_collisions(records).limit(1).collect()
+            if hit:
+                raise RuntimeError(
+                    f"record_id collision: id {hit[0]['record_id']} maps to "
+                    f"{hit[0]['n_keys']} distinct urls — distinct pages "
+                    "would silently merge. Re-run with ERConfig(id_bits=128)."
+                )
+        return records
+
     # -- orchestration ----------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = False) -> DataFrame:
         """Run (or resume) the full pipeline; returns the clusters table."""
@@ -184,8 +226,7 @@ class ERPipeline:
             self.computed_stages.append(name)
             return ck.write(name, df)
 
-        records = stage("records", lambda: self._records(pages))
-        schemas.validate_schema(records, schemas.RECORDS, "records")
+        records = self._gate_records(stage("records", lambda: self._records(pages)))
         raw = stage("blocks_raw", lambda: self._blocks_raw(records))
         blocks = stage("blocks", lambda: self._blocks(raw))
         pairs = stage("cand_pairs", lambda: self._cand_pairs(blocks))
@@ -197,20 +238,29 @@ class ERPipeline:
         return clusters
 
     @staticmethod
-    def _pairs_touching(pairs: DataFrame, ids: DataFrame) -> DataFrame:
-        """Pairs where id1 OR id2 is in `ids` (a semi-join can't express
-        OR; two nullable flag joins + one filter can — `ids` is the small
-        per-batch delta, so AQE broadcasts both joins)."""
+    def _pairs_touching(
+        pairs: DataFrame, ids: DataFrame, invert: bool = False
+    ) -> DataFrame:
+        """Pairs where id1 OR id2 is in `ids` — or, with invert=True, pairs
+        touching NEITHER (the retraction filter). A semi/anti-join can't
+        express OR; two nullable flag joins + one filter can — `ids` is the
+        small per-batch delta, so AQE broadcasts both joins."""
         n1 = ids.select(F.col("record_id").alias("id1"), F.lit(True).alias("_n1"))
         n2 = ids.select(F.col("record_id").alias("id2"), F.lit(True).alias("_n2"))
+        touching = F.col("_n1").isNotNull() | F.col("_n2").isNotNull()
         return (
             pairs.join(n1, "id1", "left")
             .join(n2, "id2", "left")
-            .filter(F.col("_n1").isNotNull() | F.col("_n2").isNotNull())
+            .filter(~touching if invert else touching)
             .drop("_n1", "_n2")
         )
 
-    def run_incremental(self, new_pages: DataFrame, base_run_id: str) -> DataFrame:
+    def run_incremental(
+        self,
+        new_pages: DataFrame,
+        base_run_id: str,
+        mode: str = "append_only",
+    ) -> DataFrame:
         """Resolve a NEW batch of pages against an already-resolved corpus
         (the crawl-frontier case: yesterday's 10^12 docs are settled,
         today's batch arrives).
@@ -234,22 +284,33 @@ class ERPipeline:
         match edges — same components as old ∪ new edges, but local
         changes converge in O(1) rounds instead of O(log² n) from scratch.
 
-        Semantics: APPEND-ONLY — a url already present in the base corpus
-        keeps its resolved snapshot (new recrawls of known urls are
-        dropped); old match decisions are never retracted, even if the
-        enlarged corpus pushes a block over the stop-key cap (a batch
-        re-run may then score fewer old-old pairs than this run keeps).
-        For disjoint batches under non-binding caps the result is
-        IDENTICAL to a batch run over the union (tested). For latest-wins
-        recrawl reconciliation see run_incremental(mode="latest_wins").
+        Two recrawl semantics (VERDICT r2 item 5), chosen by `mode`:
+
+        * mode="append_only" (default) — a url already present in the base
+          corpus keeps its resolved snapshot (recrawls of known urls are
+          dropped); old match decisions are never retracted, even if the
+          enlarged corpus pushes a block over the stop-key cap (a batch
+          re-run may then score fewer old-old pairs than this run keeps).
+          For disjoint batches under non-binding caps the result is
+          IDENTICAL to a batch run over the union (tested).
+        * mode="latest_wins" — a recrawl with a strictly newer warc_ts
+          REPLACES the base snapshot: its old record/block rows are
+          dropped, every scored pair touching it is RETRACTED, and the
+          record re-blocks and re-scores as part of the delta. Matches a
+          from-scratch batch run with latest-warc_ts dedup (tested).
+          Costs more than append-only: retraction is non-monotone, so
+          connected components cannot warm-start from the base closure —
+          edges re-derive from the full scored table and CC re-runs from
+          scratch (the delta-proportional blocking/scoring still applies).
+          Recrawls with no/older warc_ts never replace (ties keep base).
 
         Writes the full stage set under THIS pipeline's run_id, so the
         output warehouse is itself a valid base for the next batch
         (chainable ingestion). Two stage tables are delta-shaped by
         design: `cand_pairs` holds only this batch's never-scored pairs,
-        and `edges` holds the reduced (star ∪ new) edge set — same
-        components, not the full pairwise match list; `scored_pairs`
-        remains the full source of truth.
+        and in append-only mode `edges` holds the reduced (star ∪ new)
+        edge set — same components, not the full pairwise match list;
+        `scored_pairs` remains the full source of truth.
         """
         if base_run_id == self.ckpt.run_id:
             raise ValueError(
@@ -258,55 +319,105 @@ class ERPipeline:
                 "lazily while the new stages overwrite the same paths "
                 "(read-under-overwrite corrupts the base corpus)"
             )
+        if mode not in ("append_only", "latest_wins"):
+            raise ValueError(f"unknown run_incremental mode {mode!r}")
         base = ParquetCheckpoint(self.spark, self.ckpt.root, base_run_id)
         ck = self.ckpt
         self.computed_stages = list(STAGES)
 
         old_records = base.read("records")
-        rec_new = self._records(new_pages).join(
+        rec_batch = self._records(new_pages)  # latest-per-url within batch
+        rec_new = rec_batch.join(
             old_records.select("record_id"), "record_id", "left_anti"
         )
-        records = ck.write("records", old_records.unionByName(rec_new))
-        schemas.validate_schema(records, schemas.RECORDS, "records")
-        # re-slice the new records from the written table (one source of
-        # truth; avoids recomputing normalization off new_pages lineage)
-        rec_new_w = records.join(
+        if mode == "latest_wins":
+            # record_id is a pure function of url, so an id present in both
+            # IS a recrawl; it replaces the base snapshot iff strictly newer
+            changed_ids = (
+                rec_batch.alias("n")
+                .join(old_records.alias("o"), "record_id")
+                .filter(
+                    F.col("n.warc_ts").isNotNull()
+                    & (
+                        F.col("o.warc_ts").isNull()
+                        | (F.col("n.warc_ts") > F.col("o.warc_ts"))
+                    )
+                )
+                .select("record_id")
+            )
+            rec_changed = rec_batch.join(changed_ids, "record_id", "left_semi")
+            old_keep = old_records.join(changed_ids, "record_id", "left_anti")
+            records = ck.write(
+                "records", old_keep.unionByName(rec_new.unionByName(rec_changed))
+            )
+        else:
+            changed_ids = None
+            records = ck.write("records", old_records.unionByName(rec_new))
+        self._gate_records(records)
+        # re-slice the delta from the written table (one source of truth;
+        # avoids recomputing normalization off new_pages lineage). In
+        # latest-wins the changed rows in `records` ARE the new snapshots,
+        # so slicing by id picks them up correctly.
+        new_only = records.join(
             old_records.select("record_id"), "record_id", "left_anti"
         )
+        if changed_ids is not None:
+            delta_recs = new_only.unionByName(
+                records.join(changed_ids, "record_id", "left_semi")
+            )
+            raw_keep = base.read("blocks_raw").join(
+                changed_ids, "record_id", "left_anti"
+            )
+        else:
+            delta_recs = new_only
+            raw_keep = base.read("blocks_raw")
         raw = ck.write(
-            "blocks_raw",
-            base.read("blocks_raw").unionByName(self._blocks_raw(rec_new_w)),
+            "blocks_raw", raw_keep.unionByName(self._blocks_raw(delta_recs))
         )
         blocks = ck.write("blocks", self._blocks(raw))
-        # delta restriction: pair-join only blocks containing a new record,
-        # keep only pairs touching a new record (see docstring cost model)
-        new_ids = rec_new_w.select("record_id")
+        # delta restriction: pair-join only blocks containing a delta
+        # record, keep only pairs touching one (see docstring cost model)
+        delta_ids = delta_recs.select("record_id")
         delta_keys = (
-            blocks.join(new_ids, "record_id", "left_semi")
+            blocks.join(delta_ids, "record_id", "left_semi")
             .select("block_key")
             .distinct()
         )
         delta_blocks = blocks.join(delta_keys, "block_key", "left_semi")
         todo = ck.write(
             "cand_pairs",
-            self._pairs_touching(self._cand_pairs(delta_blocks), new_ids),
+            self._pairs_touching(self._cand_pairs(delta_blocks), delta_ids),
         )
         scored_old = base.read("scored_pairs")
+        if changed_ids is not None:
+            # RETRACT every decision touching a replaced snapshot — those
+            # pairs regenerate through the delta blocks and rescore against
+            # the new text (or disappear if the new text no longer blocks)
+            scored_old = self._pairs_touching(scored_old, changed_ids, invert=True)
         scored = ck.write(
             "scored_pairs",
             scored_old.unionByName(self._scored_pairs(todo, records)),
         )
-        # warm-start CC: base clusters → star edges (already canonical:
-        # cluster_id = min member id < member id), plus the new match edges
-        star = (
-            base.read("clusters")
-            .filter(F.col("cluster_id") != F.col("record_id"))
-            .select(F.col("cluster_id").alias("src"), F.col("record_id").alias("dst"))
-        )
-        new_edges = self._edges(self._pairs_touching(scored, new_ids))
-        edges = ck.write(
-            "edges", star.unionByName(new_edges).dropDuplicates(["src", "dst"])
-        )
+        if changed_ids is None:
+            # warm-start CC: base clusters → star edges (already canonical:
+            # cluster_id = min member id < member id), plus new match edges
+            star = (
+                base.read("clusters")
+                .filter(F.col("cluster_id") != F.col("record_id"))
+                .select(
+                    F.col("cluster_id").alias("src"),
+                    F.col("record_id").alias("dst"),
+                )
+            )
+            new_edges = self._edges(self._pairs_touching(scored, delta_ids))
+            edges = ck.write(
+                "edges", star.unionByName(new_edges).dropDuplicates(["src", "dst"])
+            )
+        else:
+            # retraction may SPLIT base clusters — the base closure is no
+            # longer an under-approximation, so no warm start: re-derive
+            # the full edge set from the (retraction-filtered) scored table
+            edges = ck.write("edges", self._edges(scored))
         return ck.write("clusters", self._clusters(edges, records))
 
     def calibrate(self, labels_by_url: DataFrame, grid: int = 100) -> tuple[float, float]:

@@ -14,13 +14,15 @@ plans/pipeline.run_incremental). For url-DISJOINT micro-batches the
 clusters table after batch i is identical to a from-scratch batch run
 over batches 0..i (the equivalence the tests prove).
 
-Recrawl caveat: run_incremental is APPEND-ONLY — a url resolved in an
-earlier micro-batch keeps its FIRST-seen snapshot, while a from-scratch
-batch run over the union keeps the LATEST warc_ts snapshot. When the
-stream can recrawl urls, either dedup upstream
-(streaming.incremental.dedup_recrawled_urls) or schedule periodic full
-re-runs; in-place record updates would invalidate old scored pairs and
-are out of scope for the incremental path.
+Recrawl semantics are configurable (VERDICT r2 item 5): the default
+append-only mode keeps a url's FIRST-seen snapshot (cheapest — warm-started
+CC, no retraction), while mode="latest_wins" retracts and rescores urls
+recrawled with a strictly newer warc_ts, matching what a from-scratch
+batch run over the union (which keeps the LATEST snapshot per url) would
+produce — the right setting for a standing crawl that recrawls constantly.
+Same-timestamp recrawls keep the base snapshot in latest_wins; streams
+whose sources emit no warc_ts should dedup upstream
+(streaming.incremental.dedup_recrawled_urls) or stay append-only.
 
 At 10^12-doc scale this is the standing-ingest layout: one long-lived
 streaming query, warehouse runs named by batch id, each run a valid resume
@@ -54,11 +56,18 @@ class StreamingER:
         warehouse: str,
         config: ERConfig | None = None,
         run_prefix: str = "stream",
+        mode: str = "append_only",
     ):
+        """`mode` is forwarded to run_incremental: "append_only" (default;
+        first-seen url snapshot wins, cheapest) or "latest_wins" (a recrawl
+        with a strictly newer warc_ts retracts and rescores the url —
+        reconciles the stream with from-scratch batch semantics when the
+        crawl recrawls constantly; see plans.pipeline.run_incremental)."""
         self.spark = spark
         self.warehouse = warehouse
         self.cfg = config or ERConfig()
         self.run_prefix = run_prefix
+        self.mode = mode
         self.latest_run_id: str | None = None
         # cache of the newest known-complete run: _latest_before would
         # otherwise probe batch_id-1..0 completeness markers EVERY
@@ -85,7 +94,7 @@ class StreamingER:
         if base is None:
             pipe.run(batch_df)
         else:
-            pipe.run_incremental(batch_df, base_run_id=base)
+            pipe.run_incremental(batch_df, base_run_id=base, mode=self.mode)
         self.latest_run_id = run_id
         self._last_complete = run_id
 

@@ -88,3 +88,34 @@ def test_streaming_er_replay_is_idempotent(spark, tmp_path):
         (r.record_id, r.cluster_id) for r in ser2.clusters().collect()
     )
     assert recovered == before
+
+
+def test_streaming_er_latest_wins_recrawls(spark, tmp_path):
+    """A standing stream that RECRAWLS urls: with mode="latest_wins" the
+    final clusters equal a from-scratch batch run over the union (which
+    keeps the latest warc_ts snapshot per url)."""
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=8, cluster_size=3, n_singletons=20
+    )
+    pages = spark.read.parquet(paths["pages"])
+    labels = spark.read.parquet(paths["labels"])
+    victim = labels.filter(F.col("label")).select("url1").orderBy("url1").first().url1
+    recrawl = (
+        pages.filter(F.col("url") == victim)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("text", F.lit("xqzzyk replacement snapshot"))
+    )
+    full = ERPipeline(spark, str(tmp_path / "whf"), "full", ERConfig())
+    expect = sorted(
+        (r.record_id, r.cluster_id)
+        for r in full.run(pages.unionByName(recrawl)).collect()
+    )
+    ser = StreamingER(
+        spark, str(tmp_path / "whlw"), ERConfig(), mode="latest_wins"
+    )
+    ser(pages, 0)  # first crawl sweep
+    ser(recrawl, 1)  # recrawl micro-batch
+    got = sorted(
+        (r.record_id, r.cluster_id) for r in ser.clusters().collect()
+    )
+    assert got == expect
