@@ -64,12 +64,22 @@ def _noop_run(df) -> float:
 
 def _bench_queries(spark) -> dict[str, float]:
     from dig_entity_resolution_spark import queries as Q
+    from dig_entity_resolution_spark.operators.dedup import release_caches
 
     reg = Q.spark_queries()
     out = {}
     for name in BENCH_QUERIES:
         try:
-            out[name] = round(_noop_run(reg[name](spark, SF_DIR)), 3)
+            # best-of-2 (VERDICT r2: single-shot walls couldn't separate
+            # shared-VM contention from real regressions). Each rep builds
+            # the DataFrame fresh and releases the dedup operators' caches
+            # so rep 2 measures the same cold work as rep 1, not a
+            # persisted-intermediate hit.
+            times = []
+            for _ in range(2):
+                times.append(_noop_run(reg[name](spark, SF_DIR)))
+                release_caches()
+            out[name] = round(min(times), 3)
         except Exception as e:  # keep the bench alive; report the failure
             out[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
@@ -155,7 +165,7 @@ def _cpu_control_rate(nproc: int) -> float:
         best = 0.0
         with Pool(nproc) as p:  # fork: children inherit _CTRL_A/_CTRL_B
             p.map(_ctrl_work, range(nproc))  # warm numpy/pandas imports
-            for _ in range(2):  # best-of-2, mirroring the Spark side
+            for _ in range(3):  # best-of-3, mirroring the Spark side
                 # 4 waves of ~1s tasks: a ≥4s timed region — the control
                 # was the noisiest term in the efficiency ratio at 2 waves
                 t0 = time.time()
@@ -195,6 +205,18 @@ def main() -> None:
     spark = build_session(app_name="bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
     result["queries"] = _bench_queries(spark)
     spark.stop()
+    # CPU-control sample taken in the same minutes as part 1: cross-round
+    # part-1 comparisons divide by this to cancel shared-VM drift (the r2
+    # heavy-query deltas were indistinguishable from box noise without it)
+    result["queries_control_rate"] = round(_cpu_control_rate(CPUS), 1)
+    result["notes"] = {
+        "minhash_lsh_dup_pairs": (
+            "deliberately UNCAPPED md5-hash oracle configuration (the "
+            "bit-exact DuckDB twin); production readers should compare "
+            "minhash_dedup_production (xxhash64 + capped buckets)"
+        ),
+        "queries_rep": "best-of-2 per query, dedup caches released between reps",
+    }
 
     corpus = _ensure_corpus()
     # _v2: full (unsampled) pair set + pinned measurements — regenerated
@@ -205,16 +227,17 @@ def main() -> None:
     er: dict = {}
     # interleave (spark, control) per level: each pair samples the same
     # minutes of shared-VM noise, so the efficiency-vs-control ratio
-    # cancels box drift between the 32- and 8-core measurement windows
-    # SYMMETRIC best-of-2 at both levels: min-of-3 vs min-of-2 would bias
-    # the 32-core wall low and inflate the efficiency ratio (r2 review)
-    r32 = _scale_worker("measure", "32", hydrated, "2", pin_cpus=32)
+    # cancels box drift between the 32- and 8-core measurement windows.
+    # SYMMETRIC best-of-3 at both levels (asymmetric rep counts would bias
+    # one wall low and skew the efficiency ratio — r2 review; r3 raises
+    # 2→3 per VERDICT item 3 to settle the raw scaling number)
+    r32 = _scale_worker("measure", "32", hydrated, "3", pin_cpus=32)
     er["n_pairs"] = r32["n"]
     er["pairs_per_sec_32"] = r32["pairs_per_sec"]
     er["scoring_sec_32"] = r32["sec"]
     if not FAST:
         c32 = _cpu_control_rate(32)
-        r8 = _scale_worker("measure", "8", hydrated, "2", pin_cpus=8)
+        r8 = _scale_worker("measure", "8", hydrated, "3", pin_cpus=8)
         c8 = _cpu_control_rate(8)
         er["pairs_per_sec_8"] = r8["pairs_per_sec"]
         er["scoring_sec_8"] = r8["sec"]

@@ -21,6 +21,26 @@ from ..functions.minhash import hamming64, lsh_band_keys, minhash_signature, sim
 from ..functions.normalize import char_shingles, normalize_text, tokenize
 from ..functions.similarity import cosine_native, token_jaccard
 
+# Every intermediate these operators persist() is registered here so
+# repeated callers (streaming micro-batches, bench loops) can free executor
+# storage between invocations instead of accumulating partitions until LRU
+# eviction pressure (ADVICE r2). The returned plans stay valid after
+# release — an unpersisted DataFrame recomputes from source if re-executed.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by the dedup operators. Call
+    after the terminal action on a returned DataFrame."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: md5 of normalized text; returns (content_key, doc_id,
@@ -68,13 +88,14 @@ def minhash_lsh_dup_pairs(
     # normalization once PER SHINGLE POSITION (measured 60x slower), and a
     # withColumn projection is NOT a reliable barrier. A cache IS: persist
     # (doc_id, norm) first, then shingle from the cached column.
-    normed = docs.select(
-        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
-    ).persist()
-    base = (
+    normed = _persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
+        )
+    )
+    base = _persist(
         normed.select("doc_id", char_shingles("_norm", shingle_k).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
     )
     sig = base.select(
         "doc_id",
@@ -93,7 +114,7 @@ def minhash_lsh_dup_pairs(
             "bucket"
         ),
     )
-    buckets = buckets.persist()
+    buckets = _persist(buckets)
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -215,7 +236,9 @@ def ngram_jaccard_dup_pairs(
     # minhash_lsh_dup_pairs note)
     # persist: blocked feeds the hot-key agg plus both self-join sides —
     # 3 branches would otherwise each re-run normalization + shingling
-    blocked = base.withColumn("bkey", F.substring("norm", 1, prefix_block)).persist()
+    blocked = _persist(
+        base.withColumn("bkey", F.substring("norm", 1, prefix_block))
+    )
     hot = (
         blocked.groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("n"))

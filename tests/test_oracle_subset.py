@@ -29,6 +29,7 @@ SUBSET = [
     "tpch_q1_agg",
     "events_sessionize",
     "lineitem_pivot",
+    "quality_report",
 ]
 
 
