@@ -1733,7 +1733,7 @@ def q_embedding_ivf_production(spark, sf_dir):
              AS n_good,
            round(count(*) FILTER (WHERE n_ws_tokens >= 10 AND uniq_ratio >= 0.5)::DOUBLE
              / count(*), 6) AS keep_rate
-    FROM f GROUP BY GROUPING SETS ((lang, source), (lang), ())""",
+    FROM f GROUP BY GROUPING SETS ((lang, source), (source), ())""",
 )
 def q_quality_report(spark, sf_dir):
     """F8×curation: per-(lang, source) grouping-set quality roll-up whose
@@ -1753,7 +1753,7 @@ def q_quality_report(spark, sf_dir):
     )
     good = (F.col("n_ws_tokens") >= 10) & (F.col("uniq_ratio") >= 0.5)
     return (
-        f.groupingSets([["lang", "source"], ["lang"], []], "lang", "source")
+        f.groupingSets([["lang", "source"], ["source"], []], "lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(good.cast("long")).alias("n_good"),

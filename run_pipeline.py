@@ -29,8 +29,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--incremental-from",
         help="base run-id in the same warehouse: resolve --input as a NEW "
-        "batch against that already-resolved corpus (append-only "
+        "batch against that already-resolved corpus (delta-proportional "
         "incremental ER; only unscored pairs are scored)",
+    )
+    p.add_argument(
+        "--recrawl-mode",
+        choices=["append_only", "latest_wins"],
+        default="append_only",
+        help="with --incremental-from: append_only keeps the first-seen "
+        "snapshot per url (warm-started CC); latest_wins retracts and "
+        "rescores urls recrawled with a strictly newer warc_ts",
+    )
+    p.add_argument(
+        "--id-bits",
+        type=int,
+        choices=[64, 128],
+        default=64,
+        help="record-id width: 64 = xxhash64(url); 128 = struct<hi,lo> "
+        "(collision-safe at 10^12 docs)",
+    )
+    p.add_argument(
+        "--check-id-collisions",
+        action="store_true",
+        help="fail fast if distinct urls share a record id (the signal to "
+        "switch to --id-bits 128)",
     )
     p.add_argument("--labels", help="url-keyed labels parquet for F1 report")
     p.add_argument("--calibrate", action="store_true",
@@ -50,11 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         block_top_n=args.block_top_n,
         n_salts=args.n_salts,
         use_extractor=args.use_extractor,
+        id_bits=args.id_bits,
+        check_id_collisions=args.check_id_collisions,
     )
     pipe = ERPipeline(spark, args.warehouse, args.run_id, cfg)
     pages = spark.read.parquet(args.input)
     if args.incremental_from:
-        clusters = pipe.run_incremental(pages, args.incremental_from)
+        clusters = pipe.run_incremental(
+            pages, args.incremental_from, mode=args.recrawl_mode
+        )
     else:
         clusters = pipe.run(pages, resume=args.resume)
     report = {
