@@ -266,17 +266,20 @@ class ERPipeline:
         today's batch arrives).
 
         Cost model — every repeated stage is DELTA-PROPORTIONAL
-        (VERDICT r2 item 1): blocking armor (stop-keys, per-block caps) is
-        re-derived over the UNION of the base run's raw block index and the
-        new records' keys (two scans, no pair join), but candidate
-        generation semi-joins `blocks` down to the block keys containing
-        ≥1 NEW record before the pair self-join, then keeps only pairs
-        touching a new record. Old-only blocks are untouched by the batch
-        (sizes only grow via new records), so under non-binding caps they
-        can produce no never-scored pair — and new record ids are disjoint
-        from old ids, so no pair touching one can exist in the base
-        scored_pairs: the corpus-wide anti-join of the r1/r2 design is
-        gone entirely. Scoring reuses every old decision.
+        (VERDICT r2 item 1): blocking ARMOR (stop-keys, per-block caps,
+        salts) recomputes only over the rows of block keys containing a
+        delta record — a key's armor outcome depends only on its own rows,
+        and old-only keys' membership is untouched — while every other key
+        keeps the base run's armored rows verbatim. Candidate generation
+        then semi-joins `blocks` down to those delta keys before the pair
+        self-join and keeps only pairs touching a delta record. Old-only
+        blocks can produce no never-scored pair under non-binding caps —
+        and new record ids are disjoint from old ids, so no pair touching
+        one can exist in the base scored_pairs: the corpus-wide anti-join
+        of the r1/r2 design is gone entirely, as are the full-corpus cap
+        window and stop-key aggregate. What remains O(corpus) per batch is
+        sequential column-pruned scans (semi-join probes) and the stage
+        rewrites themselves. Scoring reuses every old decision.
 
         Connected components WARM-START (VERDICT r2 item 2): the base
         run's converged clusters encode the transitive closure of all old
@@ -296,8 +299,11 @@ class ERPipeline:
         * mode="latest_wins" — a recrawl with a strictly newer warc_ts
           REPLACES the base snapshot: its old record/block rows are
           dropped, every scored pair touching it is RETRACTED, and the
-          record re-blocks and re-scores as part of the delta. Matches a
-          from-scratch batch run with latest-warc_ts dedup (tested).
+          record re-blocks and re-scores as part of the delta. Under
+          non-binding caps this matches a from-scratch batch run with
+          latest-warc_ts dedup (tested); the append-only cap caveat above
+          applies here too (a key crossing a cap threshold between runs
+          keeps its already-made old-old decisions).
           Costs more than append-only: retraction is non-monotone, so
           connected components cannot warm-start from the base closure —
           edges re-derive from the full scored table and CC re-runs from
@@ -374,10 +380,38 @@ class ERPipeline:
         raw = ck.write(
             "blocks_raw", raw_keep.unionByName(self._blocks_raw(delta_recs))
         )
-        blocks = ck.write("blocks", self._blocks(raw))
+        # armor re-derivation, delta-keyed (r3 self-review): a block key's
+        # stop-key/cap/salt outcome depends only on ITS OWN rows, and
+        # old-only keys' membership is untouched by the batch — so recompute
+        # armor over the rows of keys containing a delta record and keep the
+        # base run's armored rows for every other key. This removes the two
+        # remaining full-corpus shuffles (the per-block cap window and the
+        # stop-key aggregate) from the per-batch cost; in latest_wins a
+        # replaced record's old keys are delta keys too (its old raw rows
+        # were dropped above, so the recompute sees the post-replacement
+        # membership).
+        delta_ids = delta_recs.select("record_id")
+        if changed_ids is not None:
+            # a replaced record's OLD keys also need re-armoring (their
+            # membership shrank) — those keys exist only in the BASE raw
+            # index, since the replacement's rows were dropped from `raw`
+            key_source = raw.unionByName(base.read("blocks_raw"))
+        else:
+            key_source = raw
+        delta_raw_keys = (
+            key_source.join(delta_ids, "record_id", "left_semi")
+            .select("block_key")
+            .distinct()
+        )
+        blocks_keep = base.read("blocks").join(
+            delta_raw_keys, "block_key", "left_anti"
+        )
+        blocks_delta = self._blocks(
+            raw.join(delta_raw_keys, "block_key", "left_semi")
+        )
+        blocks = ck.write("blocks", blocks_keep.unionByName(blocks_delta))
         # delta restriction: pair-join only blocks containing a delta
         # record, keep only pairs touching one (see docstring cost model)
-        delta_ids = delta_recs.select("record_id")
         delta_keys = (
             blocks.join(delta_ids, "record_id", "left_semi")
             .select("block_key")

@@ -228,6 +228,18 @@ def test_incremental_candidate_generation_is_delta_only(spark, corpus, tmp_path)
     n_base = base.ckpt.read("scored_pairs").count()
     n_incr = incr.ckpt.read("scored_pairs").count()
     assert n_incr == n_base + len(delta_pairs)
+    # the delta-keyed armor recompute (keep base rows for untouched keys,
+    # re-armor only delta keys) must yield the SAME armored block table a
+    # full recompute over the union would
+    full_blocks = {
+        (r.block_key, r.record_id, r.salt)
+        for r in incr._blocks(incr.ckpt.read("blocks_raw")).collect()
+    }
+    incr_blocks = {
+        (r.block_key, r.record_id, r.salt)
+        for r in incr.ckpt.read("blocks").collect()
+    }
+    assert incr_blocks == full_blocks
 
 
 def test_incremental_cc_warm_starts_from_base_clusters(spark, corpus, tmp_path):
