@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "embedding_ann_lsh",
     "embedding_ann_hyperplane",
     "embedding_ivf_production",
+    "embedding_pq_topk",
+    "sorted_neighborhood",
     "connected_components",
     "tpch_q1_agg",
     "events_sessionize",

@@ -163,6 +163,59 @@ def candidate_pairs(blocks: DataFrame) -> DataFrame:
     )
 
 
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    id_col: str = "record_id",
+    key_cols: tuple[str, ...] = ("norm_text",),
+    window: int = 4,
+    bucket_chars: int = 1,
+) -> DataFrame:
+    """C1-alt: multi-pass sorted-neighborhood blocking (Hernández & Stolfo,
+    SIGMOD 1995; the multi-pass variant). Per pass: records sort by a key;
+    every record pairs with its `window-1` successors in sort order. Passes
+    over DIFFERENT keys union their pairs — the published answer to pairs a
+    single sort order misses.
+
+    Distributed layout: a global sort is a scale anti-pattern (one
+    partition), so each pass windows WITHIN key-prefix buckets
+    (`bucket_chars` leading characters) — the standard partitioned-SN
+    compromise (cf. Kolb et al., "Multi-pass sorted neighborhood blocking
+    with MapReduce", ICDE-W 2012). Pairs straddling a bucket boundary in
+    one pass are recovered probabilistically by the other passes' sort
+    orders, exactly like classic multi-pass SN recovers window misses.
+    Each window is a native lead() — no self-join, no pair explosion: a
+    bucket of n rows emits at most n·(window-1) pairs regardless of skew
+    (unlike equi-join blocking, SN needs no per-block cap).
+
+    Every step (substring bucket, lead window, union, distinct) is
+    deterministic and SQL-expressible, so the whole operator has a DuckDB
+    oracle twin. Returns canonical (id1, id2) pairs, id1 < id2.
+    """
+    out = None
+    for key in key_cols:
+        kc = F.col(key)
+        bucketed = records.select(
+            F.col(id_col).alias("_id"),
+            kc.alias("_k"),
+            F.substring(kc, 1, bucket_chars).alias("_b"),
+        ).filter(F.length("_k") > 0)
+        w = Window.partitionBy("_b").orderBy("_k", "_id")
+        pairs = bucketed.select(
+            "_id",
+            F.array(
+                *[F.lead("_id", j).over(w) for j in range(1, window)]
+            ).alias("_nbrs"),
+        ).select("_id", F.explode("_nbrs").alias("_nbr")).filter(
+            F.col("_nbr").isNotNull()
+        )
+        canon = pairs.select(
+            F.least("_id", "_nbr").alias("id1"),
+            F.greatest("_id", "_nbr").alias("id2"),
+        )
+        out = canon if out is None else out.unionByName(canon)
+    return out.dropDuplicates(["id1", "id2"])
+
+
 def exclude_pairs(cand: DataFrame, done: DataFrame) -> DataFrame:
     """C6: anti-join already-scored pairs (resume path)."""
     return cand.join(done.select("id1", "id2"), ["id1", "id2"], "left_anti")

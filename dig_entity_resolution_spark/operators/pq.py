@@ -1,0 +1,218 @@
+"""Product-quantization ANN: compressed codes + asymmetric-distance search
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+IEEE TPAMI 2011 — the PQ half; operators/ivf.py implements the IVF half).
+
+Why this matters at 100 TB: a 64-dim float64 embedding is 512 bytes; its
+PQ code is `m` small integers (m bytes once packed) — a 64× smaller corpus
+that fits executor memory where raw vectors spill. Search is ASYMMETRIC
+(ADC): the query stays exact, only the corpus is quantized — per query a
+tiny (m × k_codes) lookup table of subspace dot products is built once,
+and scoring a corpus vector is m table lookups + adds, no float math on
+the corpus side.
+
+Spark-first layout:
+  * pq_fit_local — deterministic serial codebook fit on a driver-side
+    SAMPLE (the standard practice: codebooks are a model artifact fit on
+    ~10^5-10^6 sampled vectors, never on the full corpus).
+  * pq_encode — mapInPandas: per Arrow batch, one argmin per subspace via
+    BLAS; emits (id, codes array<int>). Run once at ingest, persist the
+    codes table; it is the thing that scales, at m bytes/vector.
+  * pq_adc_topk — queries driver-collected under the same max_queries
+    contract as brute_force_topk (operators/ann.py); corpus codes stream
+    through mapInPandas, scored via LUT gather; per-partition top-k then a
+    global window top-k. Combine with IVF cells (assign_cells_arrow) for
+    the full IVFADC layout when even the code scan needs pruning.
+
+No DuckDB oracle by design (same reason as embedding_ivf_production: BLAS
+argmin near ties can't be bit-matched against a sequential SQL fold);
+instead pytest pins the exact invariant ADC promises — the ADC score
+EQUALS the dot product against the decoded (reconstructed) vector — plus
+recall on the planted near-dup corpus and partition invariance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ann import MAX_BRUTE_FORCE_QUERIES
+
+
+def _seeded_sample_rows(ids: np.ndarray, mat: np.ndarray, n: int, seed: int):
+    """Deterministic sample: rows with the smallest md5-style hash of
+    (seed, id) — same engine-portable rule as ivf.fit_centroids_local."""
+    import hashlib
+
+    if len(mat) <= n:
+        return mat
+    h = np.array(
+        [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) for i in ids]
+    )
+    return mat[np.argsort(h)[:n]]
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, k_codes: int = 32, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Fit per-subspace codebooks on a sample matrix (n, dim) → codebooks
+    of shape (m, k_codes, dim//m). Vectors are L2-normalized first (the
+    engine's similarity is cosine, so ADC uses inner products on the unit
+    sphere). Plain seeded Lloyd per subspace — deterministic."""
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if n < k_codes:
+        raise ValueError(f"sample of {n} rows cannot fit {k_codes} codes")
+    dsub = dim // m
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_codes, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=k_codes, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes = d.argmin(axis=1)
+            new = cents.copy()
+            for c in range(k_codes):
+                members = sub[codes == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.allclose(new, cents, atol=1e-12):
+                break
+            cents = new
+        books[j] = cents
+    return books
+
+
+def pq_fit_local(
+    parquet_path: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 32,
+    iters: int = 10,
+    seed: int = 7,
+    max_sample: int = 100_000,
+) -> np.ndarray:
+    """Codebooks from a deterministic sample of a parquet fixture — the
+    driver-side model-fit step (codebooks are k_codes·dim floats; the
+    corpus never leaves executors)."""
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(parquet_path, columns=["vec_id", vec_col])
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    mat = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    return pq_fit(_seeded_sample_rows(ids, mat, max_sample, seed), m, k_codes, iters, seed)
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest codeword, one BLAS
+    argmin per subspace per Arrow batch. The ingest-time compression step —
+    persist/bucket the output; at m≈8-16 it is ~50-100× smaller than the
+    raw vector column."""
+    import pandas as pd
+
+    m, k_codes, dsub = codebooks.shape
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c drops ||x||²
+                d = -2.0 * (sub @ codebooks[j].T) + (codebooks[j] ** 2).sum(axis=1)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(run, "_id long, codes array<long>")
+    return out.select(F.col("_id").alias(id_col), "codes")
+
+
+def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, dim) vectors from (n, m) codes — the quantized
+    corpus points ADC implicitly scores against."""
+    m, _k, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact (normalized) queries against the
+    PQ-compressed corpus. Per query one (m × k_codes) inner-product LUT;
+    per corpus row the score is m gathers + adds — sum_j q_j·c_{j,code_j},
+    exactly dot(q, decode(codes)). Returns (query_id, neighbor_id, adc,
+    rank); `adc` approximates cosine with reconstruction bias ≤ the
+    quantization error (Jégou et al. §III). Same driver-collect contract
+    and guard as brute_force_topk."""
+    import pandas as pd
+
+    m, k_codes, dsub = codebooks.shape
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"pq_adc_topk query side exceeds max_queries={max_queries}; "
+            "the per-query LUTs are driver-built by contract. Shard the "
+            "query set, or prune with IVF cells first."
+        )
+    qpd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpd["qid"].to_numpy()
+    qmat = np.array(qpd["qv"].tolist(), dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = q's j-th subvector · codeword c  → (nq, m, k_codes)
+    lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), codebooks
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["_cid"].to_numpy()
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            sims = np.zeros((len(lut), len(codes)))
+            for j in range(m):
+                sims += lut[:, j, codes[:, j]]
+            sims[cids[None, :] == qids[:, None]] = -np.inf  # self-match
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qcol = np.repeat(np.arange(len(lut)), kk)
+            rows = top.ravel()
+            vals = sims[qcol, rows]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qcol[keep]],
+                    "neighbor_id": cids[rows[keep]],
+                    "adc": vals[keep],
+                }
+            )
+
+    cand = corpus_codes.select(
+        F.col(id_col).alias("_cid"), F.col("codes")
+    ).mapInPandas(score, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -1713,6 +1713,79 @@ def q_embedding_ivf_production(spark, sf_dir):
     )
 
 
+@_q("embedding_pq_topk", None)
+def q_embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011 — the PQ half;
+    embedding_ivf_* is the IVF half): corpus compressed to m=8 codes per
+    vector (~64× smaller than raw float64), queries exact, scores via
+    per-query LUT gathers. No oracle by design — BLAS argmin near ties
+    can't be bit-matched against a sequential SQL fold (same reason as
+    embedding_ivf_production); the ADC score identity, recall, and
+    partition invariance are pinned in tests/test_pq.py."""
+    from .operators.pq import pq_adc_topk, pq_encode, pq_fit_local
+
+    books = pq_fit_local(
+        f"{sf_dir}/embeddings.parquet", m=8, k_codes=32, iters=10, seed=7
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    out = pq_adc_topk(emb, codes, books, "vec_id", "embedding", k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc", R6).alias("adc"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q(
+    "sorted_neighborhood",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """keyed AS (
+      SELECT record_id, norm_text AS k1, reverse(norm_text) AS k2
+      FROM records WHERE length(norm_text) > 0
+    ),
+    p1 AS (
+      SELECT record_id AS a,
+             lead(record_id, 1) OVER w AS n1,
+             lead(record_id, 2) OVER w AS n2,
+             lead(record_id, 3) OVER w AS n3
+      FROM keyed
+      WINDOW w AS (PARTITION BY substring(k1, 1, 1) ORDER BY k1, record_id)
+    ),
+    p2 AS (
+      SELECT record_id AS a,
+             lead(record_id, 1) OVER w AS n1,
+             lead(record_id, 2) OVER w AS n2,
+             lead(record_id, 3) OVER w AS n3
+      FROM keyed
+      WINDOW w AS (PARTITION BY substring(k2, 1, 1) ORDER BY k2, record_id)
+    ),
+    flat AS (
+      SELECT a, n1 AS b FROM p1 UNION ALL SELECT a, n2 FROM p1
+      UNION ALL SELECT a, n3 FROM p1
+      UNION ALL SELECT a, n1 FROM p2 UNION ALL SELECT a, n2 FROM p2
+      UNION ALL SELECT a, n3 FROM p2
+    )
+    SELECT DISTINCT least(a, b) AS id1, greatest(a, b) AS id2
+    FROM flat WHERE b IS NOT NULL""",
+)
+def q_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo 1995):
+    pass 1 sorts by normalized text, pass 2 by its REVERSE (the classic
+    second key — suffix-similar records adjacent), window 4, partitioned-SN
+    buckets on the leading character. Native lead() windows, no self-join,
+    at most n·(window-1) pairs per pass regardless of skew."""
+    from .operators.blocking import sorted_neighborhood_pairs
+
+    r = _records(spark, sf_dir).select(
+        "record_id", "norm_text", F.reverse("norm_text").alias("rev_text")
+    )
+    return sorted_neighborhood_pairs(
+        r, "record_id", ("norm_text", "rev_text"), window=4, bucket_chars=1
+    )
+
+
 @_q(
     "quality_report",
     """WITH q AS (

@@ -101,3 +101,59 @@ def test_all_blocks_strategies(records):
     b4 = {r.block_key for r in mh.filter(F.col("record_id") == 4).collect()}
     b5 = {r.block_key for r in mh.filter(F.col("record_id") == 5).collect()}
     assert b4 == b5 and len(b4) > 0
+
+
+def test_sorted_neighborhood_window_and_multipass(spark):
+    """Pass 1 (forward key) pairs sort-adjacent records; pass 2 (a second
+    key) recovers pairs the first sort order separates — the multi-pass
+    property that makes SN robust (Hernández & Stolfo 1995)."""
+    from dig_entity_resolution_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha one", "eno ahpla"),
+        (2, "alpha two", "owt ahpla"),
+        (3, "beta one", "eno ateb"),
+        (4, "gamma one", "eno ammag"),
+    ]
+    df = spark.createDataFrame(rows, ["record_id", "k", "rk"])
+    # single pass, window 2, 1-char buckets: only same-first-letter
+    # neighbors pair → (1,2) alone
+    single = {
+        (r.id1, r.id2)
+        for r in sorted_neighborhood_pairs(
+            df, "record_id", ("k",), window=2, bucket_chars=1
+        ).collect()
+    }
+    assert single == {(1, 2)}
+    # adding the reversed-key pass recovers the suffix-similar records
+    # ("...one": ids 1,3,4 share the reversed prefix 'e') the forward
+    # order scattered across buckets
+    multi = {
+        (r.id1, r.id2)
+        for r in sorted_neighborhood_pairs(
+            df, "record_id", ("k", "rk"), window=2, bucket_chars=1
+        ).collect()
+    }
+    assert (1, 2) in multi and len(multi & {(1, 3), (3, 4), (1, 4)}) >= 2
+
+
+def test_sorted_neighborhood_pair_budget(spark):
+    """SN's defining scale property: a bucket of n rows emits at most
+    n·(window-1) pairs per pass — no quadratic hot block, even when every
+    record shares one bucket (where equi-join blocking needs caps)."""
+    from dig_entity_resolution_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 200, 5
+    df = spark.range(n).select(
+        F.col("id").alias("record_id"),
+        F.concat(F.lit("zz"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("k"),
+    )
+    pairs = sorted_neighborhood_pairs(df, "record_id", ("k",), window=w)
+    assert pairs.count() <= n * (w - 1)
+    # and each record pairs with its w-1 sort successors exactly
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 4) in got and (0, 5) not in got

@@ -394,3 +394,48 @@ def test_id_collision_gate_fires(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="collision"):
         pipe._gate_records(rec)
+
+
+def test_incremental_three_batch_chain_mixed_modes(spark, corpus, tmp_path):
+    """Standing ingest, chained: batch A (full run) → batch B (append-only
+    incremental) → batch C (latest-wins incremental carrying BOTH new urls
+    and a recrawl of a batch-A url with newer ts + different text). Final
+    clusters must equal the from-scratch batch run over everything with
+    latest-warc_ts dedup — each incremental warehouse is a valid base for
+    the next batch regardless of the mode used to produce it."""
+    pages = spark.read.parquet(corpus["pages"])
+    labels = spark.read.parquet(corpus["labels"])
+    wh = str(tmp_path / "wh3b")
+    part = F.pmod(F.xxhash64("url"), F.lit(3))
+    a, b, c = (pages.filter(part == i) for i in range(3))
+    victim = (
+        labels.filter(F.col("label"))
+        .join(a.select(F.col("url").alias("url1")), "url1", "left_semi")
+        .select("url1").orderBy("url1").first()
+    )
+    assert victim is not None
+    recrawl = (
+        pages.filter(F.col("url") == victim.url1)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("text", F.lit("xqzzyk chained replacement snapshot"))
+    )
+    c_full = c.unionByName(recrawl)
+
+    full = ERPipeline(spark, wh, "full", ERConfig())
+    expect = sorted(
+        (r.record_id, r.cluster_id)
+        for r in full.run(pages.unionByName(recrawl)).collect()
+    )
+
+    p_a = ERPipeline(spark, wh, "a", ERConfig())
+    p_a.run(a)
+    p_b = ERPipeline(spark, wh, "b", ERConfig())
+    p_b.run_incremental(b, base_run_id="a")  # append-only
+    p_c = ERPipeline(spark, wh, "c", ERConfig())
+    got = sorted(
+        (r.record_id, r.cluster_id)
+        for r in p_c.run_incremental(
+            c_full, base_run_id="b", mode="latest_wins"
+        ).collect()
+    )
+    assert got == expect
