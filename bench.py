@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "embedding_ann_hyperplane",
     "embedding_ivf_production",
     "embedding_pq_topk",
+    "embedding_ivfadc_topk",
     "sorted_neighborhood",
     "connected_components",
     "tpch_q1_agg",

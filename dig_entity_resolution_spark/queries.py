@@ -1738,6 +1738,35 @@ def q_embedding_pq_topk(spark, sf_dir):
     )
 
 
+@_q("embedding_ivfadc_topk", None)
+def q_embedding_ivfadc_topk(spark, sf_dir):
+    """The composed billion-scale layout (Jégou et al. 2011 §IV): IVF
+    cells (√n, Arrow assignment) prune candidates, PQ codes (m=8) score
+    them with native LUT-gather expressions — fully distributed, no
+    driver query collect. Rows-only for the same BLAS-vs-fold reason as
+    its two halves; invariants pinned in tests/test_pq.py."""
+    import pyarrow.parquet as pq_
+
+    from .operators.ivf import fit_centroids_local
+    from .operators.pq import ivfadc_topk, pq_fit_local
+
+    n = pq_.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = fit_centroids_local(
+        f"{sf_dir}/embeddings.parquet", k=max(8, int(n ** 0.5)), iters=10, seed=7
+    )
+    books = pq_fit_local(
+        f"{sf_dir}/embeddings.parquet", m=8, k_codes=32, iters=10, seed=7
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = ivfadc_topk(emb, emb, cents, books, "vec_id", "embedding", k=3, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc", R6).alias("adc"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @_q(
     "sorted_neighborhood",
     f"WITH {SQL_RECORDS_CTE}, "

@@ -100,3 +100,32 @@ def test_pq_adc_query_guard(spark, planted):
     codes_df = pq_encode(df, "vec_id", "embedding", books)
     with pytest.raises(ValueError, match="max_queries"):
         pq_adc_topk(df, codes_df, books, k=3, max_queries=10)
+
+
+def test_ivfadc_topk_recall_and_adc_consistency(spark, planted):
+    """The composed IVFADC layout: cells prune, codes score. Fully
+    distributed (no driver query collect). Recall stays high on the
+    planted corpus because copies share cells AND quantize to nearby
+    codes; the adc values must agree with the pure-PQ path for pairs both
+    return (same codebooks → same reconstruction)."""
+    from dig_entity_resolution_spark.operators.ivf import kmeans_fit
+    from dig_entity_resolution_spark.operators.pq import ivfadc_topk
+
+    df, truth, mat = planted
+    cents = kmeans_fit(df, "vec_id", "embedding", k=8, iters=5, seed=7)
+    books = pq_fit(mat, m=8, k_codes=32)
+    out = ivfadc_topk(df, df, cents, books, k=10, nprobe=2)
+    rows = out.collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = sum((a, b) in got for a, b in truth) / len(truth)
+    assert recall >= 0.85, f"IVFADC recall {recall:.3f}"
+    # adc agreement with the pure-PQ (LUT-gather-in-numpy) path
+    codes_df = pq_encode(df, "vec_id", "embedding", books)
+    pq_rows = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_adc_topk(df, codes_df, books, k=10).collect()
+    }
+    both = [(r, pq_rows[(r.query_id, r.neighbor_id)]) for r in rows
+            if (r.query_id, r.neighbor_id) in pq_rows]
+    assert len(both) > 100
+    assert all(abs(r.adc - v) < 1e-9 for r, v in both)
