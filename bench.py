@@ -86,6 +86,10 @@ def _bench_queries(spark) -> dict[str, float]:
         except Exception as e:  # keep the bench alive; report the failure
             out[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
+        finally:
+            # a failed rep must not leak rep 1's persisted intermediates
+            # into every later query's wall (r3 review)
+            release_caches()
     return out
 
 

@@ -48,6 +48,22 @@ def id_collisions(records, id_col: str = "record_id", key_col: str = "url"):
     )
 
 
+def md5_sample_order(ids, seed: int):
+    """Deterministic, engine- and partitioning-independent sample order for
+    DRIVER-SIDE numpy code: argsort of md5(f"{seed}:{id}") prefixes. The
+    shared rule behind ivf.fit_centroids_local's init and pq's codebook
+    sampling — one implementation so the two model fits can never silently
+    diverge (r3 review). Returns the permutation (numpy argsort indices)."""
+    import hashlib
+
+    import numpy as np
+
+    h = np.array(
+        [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) for i in ids]
+    )
+    return np.argsort(h)
+
+
 def md5_long(col: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative BIGINT (60 bits).
 

@@ -168,7 +168,7 @@ def sorted_neighborhood_pairs(
     id_col: str = "record_id",
     key_cols: tuple[str, ...] = ("norm_text",),
     window: int = 4,
-    bucket_chars: int = 1,
+    bucket_chars: int = 4,
 ) -> DataFrame:
     """C1-alt: multi-pass sorted-neighborhood blocking (Hernández & Stolfo,
     SIGMOD 1995; the multi-pass variant). Per pass: records sort by a key;
@@ -186,6 +186,14 @@ def sorted_neighborhood_pairs(
     Each window is a native lead() — no self-join, no pair explosion: a
     bucket of n rows emits at most n·(window-1) pairs regardless of skew
     (unlike equi-join blocking, SN needs no per-block cap).
+
+    SIZE bucket_chars to the corpus (r3 review): each bucket sorts inside
+    ONE task, so the bucket count (≈ distinct key prefixes) must be ≫
+    cores and the hottest prefix's rows must fit a task. 1 char (≤ ~30
+    buckets of corpus/30 rows each) is a fixture-scale setting; the
+    default 4 gives vocabulary⁴-ish spread; web-scale corpora want more
+    (boundary-pair loss stays bounded: window-1 pairs per bucket edge,
+    recovered by the other passes).
 
     Every step (substring bucket, lead window, union, distinct) is
     deterministic and SQL-expressible, so the whole operator has a DuckDB

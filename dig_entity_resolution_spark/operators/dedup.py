@@ -22,10 +22,14 @@ from ..functions.normalize import char_shingles, normalize_text, tokenize
 from ..functions.similarity import cosine_native, token_jaccard
 
 # Every intermediate these operators persist() is registered here so
-# repeated callers (streaming micro-batches, bench loops) can free executor
-# storage between invocations instead of accumulating partitions until LRU
-# eviction pressure (ADVICE r2). The returned plans stay valid after
-# release — an unpersisted DataFrame recomputes from source if re-executed.
+# repeated callers (streaming micro-batches, bench loops, the oracle gate)
+# can free executor storage between invocations instead of accumulating
+# partitions until LRU eviction pressure (ADVICE r2). The returned plans
+# stay valid after release — an unpersisted DataFrame recomputes from
+# source if re-executed. The references are deliberately STRONG: a SQL
+# persist() lives in the session's CacheManager until explicitly
+# unpersisted (it is not reclaimed when the Python object is collected),
+# so dropping the handle would leak the cache with no way to free it.
 _LIVE_CACHES: list[DataFrame] = []
 
 

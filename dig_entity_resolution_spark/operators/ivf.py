@@ -264,14 +264,11 @@ def fit_centroids_local(
     ids = np.array(tbl.column("vec_id").to_pylist())
     mat = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
     # deterministic init: k smallest md5-based hashes of the id (engine-
-    # portable analogue of the xxhash64 init; serial code so any stable
-    # hash works)
-    import hashlib
+    # portable analogue of the xxhash64 init; the shared rule in
+    # functions.hashing.md5_sample_order, also behind pq's codebook sample)
+    from ..functions.hashing import md5_sample_order
 
-    h = np.array(
-        [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) for i in ids]
-    )
-    centroids = mat[np.argsort(h)[:k]].copy()
+    centroids = mat[md5_sample_order(ids, seed)[:k]].copy()
     for _ in range(iters):
         cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
         vn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -40,16 +40,14 @@ from .ann import MAX_BRUTE_FORCE_QUERIES
 
 
 def _seeded_sample_rows(ids: np.ndarray, mat: np.ndarray, n: int, seed: int):
-    """Deterministic sample: rows with the smallest md5-style hash of
-    (seed, id) — same engine-portable rule as ivf.fit_centroids_local."""
-    import hashlib
+    """Deterministic sample: rows with the smallest md5 hash of (seed, id)
+    — the shared rule in functions.hashing.md5_sample_order (also behind
+    ivf.fit_centroids_local's init)."""
+    from ..functions.hashing import md5_sample_order
 
     if len(mat) <= n:
         return mat
-    h = np.array(
-        [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) for i in ids]
-    )
-    return mat[np.argsort(h)[:n]]
+    return mat[md5_sample_order(ids, seed)[:n]]
 
 
 def pq_fit(
@@ -72,7 +70,10 @@ def pq_fit(
         sub = x[:, j * dsub : (j + 1) * dsub]
         cents = sub[rng.choice(n, size=k_codes, replace=False)].copy()
         for _ in range(iters):
-            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||² argmin via the BLAS form (drop the constant ||x||²):
+            # O(n·k) memory — the broadcast-difference tensor would be
+            # n·k·dsub floats, GBs at the documented sample sizes (r3 review)
+            d = -2.0 * (sub @ cents.T) + (cents**2).sum(axis=1)
             codes = d.argmin(axis=1)
             new = cents.copy()
             for c in range(k_codes):
@@ -94,14 +95,15 @@ def pq_fit_local(
     iters: int = 10,
     seed: int = 7,
     max_sample: int = 100_000,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Codebooks from a deterministic sample of a parquet fixture — the
     driver-side model-fit step (codebooks are k_codes·dim floats; the
     corpus never leaves executors)."""
     import pyarrow.parquet as pq_
 
-    tbl = pq_.read_table(parquet_path, columns=["vec_id", vec_col])
-    ids = np.array(tbl.column("vec_id").to_pylist())
+    tbl = pq_.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.array(tbl.column(id_col).to_pylist())
     mat = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
     return pq_fit(_seeded_sample_rows(ids, mat, max_sample, seed), m, k_codes, iters, seed)
 
@@ -247,10 +249,19 @@ def ivfadc_topk(
     from .ivf import assign_cells_arrow
 
     m, k_codes, dsub = codebooks.shape
-    c = assign_cells_arrow(corpus, id_col, vec_col, centroids, 1)
-    c_codes = pq_encode(c, id_col, vec_col, codebooks).join(
-        c.select(F.col(id_col), "cell"), id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+    # cells and codes are two INDEPENDENT Arrow passes over the corpus
+    # scan, joined by id — feeding assign_cells_arrow's output into
+    # pq_encode would re-run the assignment pass inside the encode lineage
+    # (unpersisted-branch duplication, ENGINEERING_NOTES #17). At ingest
+    # both are persisted tables bucketed by cell anyway.
+    cells = assign_cells_arrow(corpus, id_col, vec_col, centroids, 1).select(
+        F.col(id_col), "cell"
+    )
+    c_codes = (
+        pq_encode(corpus, id_col, vec_col, codebooks)
+        .join(cells, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+    )
 
     q = assign_cells_arrow(queries, id_col, vec_col, centroids, nprobe)
 

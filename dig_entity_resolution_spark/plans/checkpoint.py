@@ -199,9 +199,14 @@ class IcebergCheckpoint(ParquetCheckpoint):
         rows = self.spark.sql(
             f"SHOW TABLES IN {self.catalog}.{self.namespace}"
         ).collect()
-        pre = f"{self.run_id}_"
+        # catalogs lowercase unquoted identifiers at create time, so a
+        # mixed-case run_id would never match its own tables — compare
+        # case-insensitively or the stale-round wipe silently no-ops
+        # (r3 review)
+        pre = f"{self.run_id}_".lower()
+        want = pre + prefix.lower()
         return sorted(
             r.tableName[len(pre):]
             for r in rows
-            if r.tableName.startswith(pre + prefix)
+            if r.tableName.lower().startswith(want)
         )

@@ -196,6 +196,20 @@ class ERPipeline:
         )
         return clusters_with_singletons(assign, records)
 
+    @staticmethod
+    def _upgrade_records(records: DataFrame) -> DataFrame:
+        """Forward-compat shim for warehouses written before the records
+        stage carried warc_ts (r3): reads of an old base/resume table get a
+        NULL timestamp column appended so unions, the schema gate, and
+        latest-wins comparisons (NULL = 'never replaces / always replaced
+        by a timestamped recrawl') keep working — mirroring checkpoint.py's
+        pre-r3 meta fallback."""
+        if "warc_ts" not in records.columns:
+            records = records.withColumn(
+                "warc_ts", F.lit(None).cast("timestamp")
+            )
+        return records
+
     def _gate_records(self, records: DataFrame) -> DataFrame:
         """Schema gate (id-width aware) + the opt-in id-collision gate:
         a 64-bit id collision silently merges distinct urls into one
@@ -226,7 +240,9 @@ class ERPipeline:
             self.computed_stages.append(name)
             return ck.write(name, df)
 
-        records = self._gate_records(stage("records", lambda: self._records(pages)))
+        records = self._gate_records(
+            self._upgrade_records(stage("records", lambda: self._records(pages)))
+        )
         raw = stage("blocks_raw", lambda: self._blocks_raw(records))
         blocks = stage("blocks", lambda: self._blocks(raw))
         pairs = stage("cand_pairs", lambda: self._cand_pairs(blocks))
@@ -331,8 +347,14 @@ class ERPipeline:
         ck = self.ckpt
         self.computed_stages = list(STAGES)
 
-        old_records = base.read("records")
+        old_records = self._upgrade_records(base.read("records"))
         rec_batch = self._records(new_pages)  # latest-per-url within batch
+        if mode == "latest_wins":
+            # latest_wins consumes rec_batch from THREE branches (new-id
+            # anti-join, recrawl detection, changed slice); materialize it
+            # once so the normalization/tokenization doesn't run per branch
+            # (ENGINEERING_NOTES #17) — and the batch snapshot is auditable
+            rec_batch = ck.write("batch_records", rec_batch)
         rec_new = rec_batch.join(
             old_records.select("record_id"), "record_id", "left_anti"
         )

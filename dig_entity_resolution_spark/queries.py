@@ -1780,7 +1780,7 @@ def q_embedding_ivfadc_topk(spark, sf_dir):
              lead(record_id, 2) OVER w AS n2,
              lead(record_id, 3) OVER w AS n3
       FROM keyed
-      WINDOW w AS (PARTITION BY substring(k1, 1, 1) ORDER BY k1, record_id)
+      WINDOW w AS (PARTITION BY substring(k1, 1, 2) ORDER BY k1, record_id)
     ),
     p2 AS (
       SELECT record_id AS a,
@@ -1788,7 +1788,7 @@ def q_embedding_ivfadc_topk(spark, sf_dir):
              lead(record_id, 2) OVER w AS n2,
              lead(record_id, 3) OVER w AS n3
       FROM keyed
-      WINDOW w AS (PARTITION BY substring(k2, 1, 1) ORDER BY k2, record_id)
+      WINDOW w AS (PARTITION BY substring(k2, 1, 2) ORDER BY k2, record_id)
     ),
     flat AS (
       SELECT a, n1 AS b FROM p1 UNION ALL SELECT a, n2 FROM p1
@@ -1803,15 +1803,17 @@ def q_sorted_neighborhood(spark, sf_dir):
     """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo 1995):
     pass 1 sorts by normalized text, pass 2 by its REVERSE (the classic
     second key — suffix-similar records adjacent), window 4, partitioned-SN
-    buckets on the leading character. Native lead() windows, no self-join,
-    at most n·(window-1) pairs per pass regardless of skew."""
+    buckets on the 2 leading characters (a fixture-scale setting; size
+    bucket_chars up with the corpus — see the operator docstring). Native
+    lead() windows, no self-join, at most n·(window-1) pairs per pass
+    regardless of skew."""
     from .operators.blocking import sorted_neighborhood_pairs
 
     r = _records(spark, sf_dir).select(
         "record_id", "norm_text", F.reverse("norm_text").alias("rev_text")
     )
     return sorted_neighborhood_pairs(
-        r, "record_id", ("norm_text", "rev_text"), window=4, bucket_chars=1
+        r, "record_id", ("norm_text", "rev_text"), window=4, bucket_chars=2
     )
 
 

@@ -439,3 +439,33 @@ def test_incremental_three_batch_chain_mixed_modes(spark, corpus, tmp_path):
         ).collect()
     )
     assert got == expect
+
+
+def test_incremental_upgrades_pre_warc_ts_base(spark, corpus, tmp_path):
+    """A base warehouse written before the records stage carried warc_ts
+    must stay usable for resume AND as an incremental base (r3 review):
+    readers shim a NULL warc_ts column, mirroring the checkpoint meta
+    fallback."""
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "whold")
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    full = ERPipeline(spark, wh, "full", ERConfig())
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in full.run(pages).collect()
+    )
+    base = ERPipeline(spark, wh, "base", ERConfig())
+    base.run(pages.filter(split))
+    # rewrite the records stage in the pre-r3 (no warc_ts) layout
+    old_rows = base.ckpt.read("records").drop("warc_ts").collect()
+    base.ckpt.write("records", spark.createDataFrame(old_rows))
+    # resume over the old layout passes the (upgraded) schema gate
+    resumed = ERPipeline(spark, wh, "base", ERConfig())
+    resumed.run(pages.filter(split), resume=True)
+    assert resumed.computed_stages == []
+    # and the old layout works as an incremental base
+    incr = ERPipeline(spark, wh, "incr", ERConfig())
+    got = sorted(
+        (r.record_id, r.cluster_id)
+        for r in incr.run_incremental(pages.filter(~split), "base").collect()
+    )
+    assert got == expect

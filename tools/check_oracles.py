@@ -65,6 +65,8 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    from dig_entity_resolution_spark.operators.dedup import release_caches
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,6 +77,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # dedup queries persist intermediates; freeing them per query
+            # keeps a 45-query session's executor storage flat (r3 review)
+            release_caches()
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
