@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "embedding_pq_topk",
     "embedding_ivfadc_topk",
     "sorted_neighborhood",
+    "events_last_order_asof",
     "connected_components",
     "tpch_q1_agg",
     "events_sessionize",

@@ -1713,6 +1713,43 @@ def q_embedding_ivf_production(spark, sf_dir):
     )
 
 
+@_q(
+    "events_last_order_asof",
+    """WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+)
+def q_events_last_order_asof(spark, sf_dir):
+    """As-of (point-in-time) join: each event enriched with the latest
+    order the same user placed at-or-before the event timestamp (NULL when
+    none). Spark has no native ASOF JOIN — operators/asof.py implements it
+    as union + ordered window (one shuffle on the key, no range-join
+    explosion); DuckDB's built-in ASOF LEFT JOIN is the oracle. The right
+    side is pre-deduped to one row per (custkey, orderdate) — max orderkey
+    — because as-of ties would otherwise be order-dependent in BOTH
+    engines."""
+    from .operators.asof import asof_join
+
+    e = _tbl(spark, sf_dir, "events")
+    o = _tbl(spark, sf_dir, "orders")
+    r = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = asof_join(
+        e, r, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=("o_orderkey",),
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_order_key")
+    )
+
+
 @_q("embedding_pq_topk", None)
 def q_embedding_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou et al. 2011 — the PQ half;

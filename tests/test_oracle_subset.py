@@ -30,6 +30,8 @@ SUBSET = [
     "events_sessionize",
     "lineitem_pivot",
     "quality_report",
+    "sorted_neighborhood",
+    "events_last_order_asof",
 ]
 
 
