@@ -50,6 +50,16 @@ def asof_join(
     (key, ts) right rows raise at execution time rather than returning
     order-dependent results.
     """
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(clash)} collide with left "
+            "columns — alias the right side's payload first"
+        )
+    reserved = {"_k", "_ts", "_p", "_side", "_l", "_m", "_rts"}
+    bad = reserved & (set(left.columns) | set(payload_cols))
+    if bad:
+        raise ValueError(f"asof_join: column names {sorted(bad)} are reserved")
     key = F.col(on)
     # lazy uniqueness guard: a window count is one pass over the already-
     # shuffled right side; raise_error keeps the check inside the plan

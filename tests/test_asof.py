@@ -79,3 +79,17 @@ def test_asof_preserves_every_left_row(spark, tables):
     out = asof_join(left, right, "user_id", "ts", "snap_ts", ("state",))
     assert out.count() == left.count()
     assert set(out.columns) == {"event_id", "user_id", "ts", "state"}
+
+
+def test_asof_rejects_colliding_column_names(spark, tables):
+    left, right = tables
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right.withColumnRenamed("state", "ts"),
+            "user_id", "ts", "snap_ts", ("ts",),
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            left.withColumnRenamed("event_id", "_k"),
+            right, "user_id", "ts", "snap_ts", ("state",),
+        )
