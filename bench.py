@@ -251,6 +251,11 @@ def main() -> None:
         er["scoring_sec_32"] = r32["sec"]
     else:
         windows = []
+        # best-of-2 per level per window (a 1-rep trim was measured and is
+        # too fragile: one co-tenant burst inside the single 32-core rep
+        # sank a window's raw efficiency to 0.41 while the numpy control —
+        # less sensitive to scheduler steal than 32 JVM threads + 32
+        # Python workers — stayed flat)
         for _ in range(2):
             r32 = _scale_worker("measure", "32", hydrated, "2", pin_cpus=32)
             c32 = _cpu_control_rate(32)
