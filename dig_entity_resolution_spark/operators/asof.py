@@ -49,6 +49,14 @@ def asof_join(
     max_by) to one row per timestamp first. Checked lazily: duplicate
     (key, ts) right rows raise at execution time rather than returning
     order-dependent results.
+
+    NULL timestamps (ADVICE r3): right rows with a NULL `right_ts` are
+    dropped before the union — under Spark's nulls-first ascending sort
+    they would otherwise act as a "-infinity" snapshot matching every
+    left row, which diverges from DuckDB/pandas ASOF semantics where an
+    inequality against NULL never matches. Left rows with a NULL
+    `left_ts` sort before every (non-NULL) right row and therefore carry
+    a NULL payload — the same "no match" result merge_asof gives NaT.
     """
     clash = set(payload_cols) & set(left.columns)
     if clash:
@@ -65,6 +73,7 @@ def asof_join(
     # shuffled right side; raise_error keeps the check inside the plan
     # (no extra action) — it fires only if a duplicate actually exists
     wdup = Window.partitionBy(on, right_ts)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         key.alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -29,8 +29,26 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _local_file_size(uri: str) -> int | None:
+    """Byte size of a file:// (or bare-path) URI via os.stat; None for a
+    remote scheme (hdfs/s3 — post-write integrity there rests on the object
+    store's own guarantees) or a missing/unreadable file."""
+    if uri.startswith("file:"):
+        path = uri[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+    elif "://" in uri:
+        return None
+    else:
+        path = uri
+    try:
+        return os.stat(path).st_size
+    except OSError:
+        return None
 
 
 class ParquetCheckpoint:
@@ -54,23 +72,37 @@ class ParquetCheckpoint:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         written = self.spark.read.parquet(path)
-        lineage = (
+        # Post-write data integrity (ADVICE r3): total_rows alone is
+        # tautological once _meta reads back intact — it detects torn META
+        # writes but not data files truncated/deleted AFTER a successful
+        # write. Stamp each data file's path and byte size (from the
+        # filesystem — an input independent of the rows just counted);
+        # is_complete re-stats those files at probe time. Lineage is one
+        # row per FILE, so collecting it here is the same O(#files)
+        # driver-side scale is_complete already pays, never O(rows).
+        counts = sorted(
             written.groupBy(F.input_file_name().alias("file"))
             .agg(F.count(F.lit(1)).alias("rows_out"))
-            .select(
-                F.lit(stage).alias("stage"),
-                F.lit(self.run_id).alias("run_id"),
-                (F.row_number().over(Window.orderBy("file")) - 1).alias(
-                    "partition_id"
-                ),
-                "rows_out",
-                # expected total, stamped on every lineage row: is_complete
-                # compares sum(rows_out) against it WITHOUT touching the
-                # (possibly huge) data table — lineage is one row per file
-                F.sum("rows_out").over(Window.partitionBy()).alias("total_rows"),
-                F.current_timestamp().alias("ts"),
-            )
+            .collect(),
+            key=lambda r: r["file"],
         )
+        total = sum(r["rows_out"] for r in counts)
+        lineage = self.spark.createDataFrame(
+            [
+                (
+                    stage,
+                    self.run_id,
+                    pid,
+                    r["file"],
+                    r["rows_out"],
+                    total,
+                    _local_file_size(r["file"]),
+                )
+                for pid, r in enumerate(counts)
+            ],
+            "stage string, run_id string, partition_id int, file string, "
+            "rows_out long, total_rows long, bytes long",
+        ).withColumn("ts", F.current_timestamp())
         lineage.write.mode("overwrite").parquet(self.meta_path(stage))
         return written
 
@@ -100,9 +132,24 @@ class ParquetCheckpoint:
         # empty stage (e.g. edges with no matches) must still count as
         # complete (ADVICE r1: NULL != 0 forced recompute of every
         # downstream stage). A torn/mixed meta write (lo != hi) is not.
-        return (row["n"] or 0) == (row["lo"] or 0) and (row["lo"] or 0) == (
-            row["hi"] or 0
-        )
+        if not (
+            (row["n"] or 0) == (row["lo"] or 0)
+            and (row["lo"] or 0) == (row["hi"] or 0)
+        ):
+            return False
+        # Post-write data integrity (ADVICE r3): re-stat every data file
+        # recorded in lineage and compare against the size stamped at write
+        # time. Catches data files truncated or deleted AFTER a successful
+        # write, which the row-total equality (stamped from the same
+        # lineage) cannot. O(#files) stat calls; skipped per-file when the
+        # size was unknowable at write time (remote scheme → bytes NULL).
+        if "file" in meta_df.columns and "bytes" in meta_df.columns:
+            for f in meta_df.select("file", "bytes").collect():
+                if f["bytes"] is None:
+                    continue
+                if _local_file_size(f["file"]) != f["bytes"]:
+                    return False
+        return True
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(stage))

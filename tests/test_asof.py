@@ -93,3 +93,33 @@ def test_asof_rejects_colliding_column_names(spark, tables):
             left.withColumnRenamed("event_id", "_k"),
             right, "user_id", "ts", "snap_ts", ("state",),
         )
+
+
+def test_asof_drops_null_right_timestamps(spark, tables):
+    """ADVICE r3: a right row with NULL right_ts must never match — under
+    nulls-first ascending sort it would otherwise act as a -infinity
+    snapshot carried into every left row."""
+    left, right = tables
+    poisoned = right.unionByName(
+        spark.createDataFrame(
+            [(30, None, "POISON")], "user_id long, snap_ts timestamp, state string"
+        )
+    )
+    out = {
+        r.event_id: r.state
+        for r in asof_join(
+            left, poisoned, "user_id", "ts", "snap_ts", ("state",)
+        ).collect()
+    }
+    # key 30 (event 5) has only the NULL-ts snapshot → still no match;
+    # event 3 (before any snapshot) must not inherit the NULL-ts row either
+    assert out == {1: "B", 2: "B", 3: None, 4: "C", 5: None}
+
+
+def test_asof_null_left_ts_gets_null_payload(spark, tables):
+    _, right = tables
+    left = spark.createDataFrame(
+        [(9, 10, None)], "event_id long, user_id long, ts timestamp"
+    )
+    rows = asof_join(left, right, "user_id", "ts", "snap_ts", ("state",)).collect()
+    assert len(rows) == 1 and rows[0].state is None

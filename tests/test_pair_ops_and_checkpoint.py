@@ -168,3 +168,28 @@ def test_is_complete_pre_r3_meta_fallback(spark, tmp_path):
     rows = ck.lineage("s").drop("total_rows").collect()
     spark.createDataFrame(rows).write.mode("overwrite").parquet(ck.meta_path("s"))
     assert ck.is_complete("s")
+
+
+def test_checkpoint_detects_post_write_data_damage(spark, tmp_path):
+    """ADVICE r3: completeness must not rest only on _SUCCESS + a
+    tautological row-total once the write finished — a data file truncated
+    or deleted AFTER a successful write must flip is_complete to False."""
+    import glob
+    import os
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "r1")
+    df = spark.range(200).withColumnRenamed("id", "record_id").repartition(4)
+    ck.write("stage_a", df)
+    assert ck.is_complete("stage_a")
+    files = sorted(
+        glob.glob(os.path.join(ck.table_path("stage_a"), "part-*.parquet"))
+    )
+    assert files
+    # truncate one data file (simulates torn post-write storage) — the
+    # _SUCCESS markers and the _meta table are untouched
+    with open(files[0], "r+b") as f:
+        f.truncate(max(0, os.path.getsize(files[0]) - 7))
+    assert not ck.is_complete("stage_a")
+    # delete it outright — still incomplete
+    os.remove(files[0])
+    assert not ck.is_complete("stage_a")
