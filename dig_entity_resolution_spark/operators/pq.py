@@ -309,3 +309,186 @@ def ivfadc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native-expression twins (oracle-grade, VERDICT r3 gap #2)
+# ---------------------------------------------------------------------------
+#
+# The BLAS paths above are the production configs; their summation order
+# can't be bit-matched against a sequential SQL fold. These twins compute
+# the SAME quantities with Spark native expressions whose evaluation order
+# (left-to-right fold via F.aggregate/zip_with, tie-break on code index)
+# is identical to DuckDB's list_inner_product + row_number — the trick that
+# earned embedding_ivf_topk its oracle (operators/ivf.py assign_cells).
+# Interpreted expressions, so per-row cost is m·k_codes·dsub multiplies —
+# use them for correctness checking and modest query sets; the LUT/BLAS
+# paths are the 100 TB throughput configs.
+
+
+def _vec_norm(v):
+    """greatest(sqrt(Σ v_i²), 1e-12) as a sequential native fold — matches
+    DuckDB's greatest(sqrt(list_inner_product(v, v)), 1e-12) bit-for-bit."""
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-12),
+    )
+
+
+def _sub_dot_lit(v, j: int, dsub: int, codeword: np.ndarray):
+    """dot(v[j·dsub+1 .. j·dsub+dsub], codeword) — sequential fold, same
+    order as DuckDB lip over the same 1-based inclusive slice."""
+    sub = F.slice(v, j * dsub + 1, dsub)
+    lit = F.array(*[F.lit(float(x)) for x in codeword])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode_native(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes array<int>) via native expressions: per subspace j the
+    codeword is argmin_c(||c||² − 2·(v_subj·c / ‖v‖)), evaluated as an
+    array_min over (score, code) structs — lexicographic struct ordering
+    gives min score with ties to the LOWER code index, the same order the
+    SQL twin's `row_number() OVER (ORDER BY score, c)` produces. ||c||² is
+    a Python-computed literal inlined identically into both engines, so
+    only the dot-product fold order matters — and both are sequential."""
+    m, k_codes, dsub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _vec_norm(v)
+    code_cols = []
+    for j in range(m):
+        structs = []
+        for c in range(k_codes):
+            c2 = float((codebooks[j, c] ** 2).sum())
+            score = F.lit(c2) - F.lit(2.0) * (_sub_dot_lit(v, j, dsub, codebooks[j, c]) / nrm)
+            structs.append(F.struct(score.alias("s"), F.lit(c).alias("c")))
+        code_cols.append(F.array_min(F.array(*structs))["c"])
+    return df.select(
+        F.col(id_col),
+        F.array(*code_cols).cast("array<int>").alias("codes"),
+    )
+
+
+def _adc_native(qv, qn, codes, codebooks: np.ndarray):
+    """ADC score as one native expression: Σ_j dot(q_subj, B_j[code_j]),
+    divided by ‖q‖ once at the end — a left-associated + chain, matching
+    the SQL twin's (l0 + l1 + … + l_{m-1})/nrm exactly."""
+    m, k_codes, dsub = codebooks.shape
+    total = None
+    for j in range(m):
+        bj = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in codebooks[j, c]])
+                for c in range(k_codes)
+            ]
+        )
+        cw = F.element_at(bj, F.element_at(codes, j + 1).cast("int") + 1)
+        dot = F.aggregate(
+            F.zip_with(F.slice(qv, j * dsub + 1, dsub), cw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = dot if total is None else total + dot
+    return total / qn
+
+
+def pq_adc_topk_native(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exhaustive ADC top-k with native expressions — fully distributed
+    (plain cross join, no driver query collect, no LUT state), bit-
+    matchable against the DuckDB twin. Same semantics as pq_adc_topk;
+    use that (LUT gathers per Arrow batch) when throughput matters."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _vec_norm(F.col("_qv")))
+    c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_native(F.col("_qv"), F.col("_qn"), F.col("codes"), codebooks).alias(
+                "adc"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivfadc_topk_native(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC with every float step native: cell assignment via the same
+    literal-centroid fold assign_cells uses (the IVF oracle path), codes
+    via pq_encode_native, ADC via _adc_native — the whole composition is
+    bit-matchable against one DuckDB query. ivfadc_topk (Arrow assignment
+    + LUT-gather scoring) is the production config."""
+    from .ivf import _cell_ranks, assign_cells
+
+    cells = assign_cells(corpus, id_col, vec_col, centroids).select(
+        F.col(id_col), "cell"
+    )
+    codes = (
+        pq_encode_native(corpus, id_col, vec_col, codebooks)
+        .join(cells, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+    )
+    probes = (
+        _cell_ranks(queries, id_col, vec_col, centroids)
+        .filter(F.col("rank") <= nprobe)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").cast("array<double>").alias("_qv"),
+            "cell",
+        )
+        .withColumn("_qn", _vec_norm(F.col("_qv")))
+    )
+    scored = (
+        probes.join(codes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_native(F.col("_qv"), F.col("_qn"), F.col("codes"), codebooks).alias(
+                "adc"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

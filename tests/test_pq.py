@@ -129,3 +129,70 @@ def test_ivfadc_topk_recall_and_adc_consistency(spark, planted):
             if (r.query_id, r.neighbor_id) in pq_rows]
     assert len(both) > 100
     assert all(abs(r.adc - v) < 1e-9 for r, v in both)
+
+
+def test_native_encode_agrees_with_blas_encode(spark, planted):
+    """pq_encode_native (sequential-fold expressions, the oracle path) and
+    pq_encode (BLAS argmin, the production path) must pick the same
+    codewords away from exact ties — on this corpus, all of them."""
+    from dig_entity_resolution_spark.operators.pq import pq_encode_native
+
+    df, _, mat = planted
+    books = pq_fit(mat, m=8, k_codes=32)
+    blas = {r.vec_id: tuple(r.codes) for r in pq_encode(df, "vec_id", "embedding", books).collect()}
+    native = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode_native(df, "vec_id", "embedding", books).collect()
+    }
+    assert native.keys() == blas.keys()
+    agree = sum(native[k] == blas[k] for k in native)
+    # identical distances in double precision: any disagreement would be a
+    # real bug, not a near-tie (fold vs BLAS differ only in the last ulp)
+    assert agree == len(native)
+
+
+def test_native_adc_matches_lut_adc(spark, planted):
+    """pq_adc_topk_native and pq_adc_topk score the same (query, neighbor)
+    pairs to within float tolerance and return the same top-k sets."""
+    from dig_entity_resolution_spark.operators.pq import pq_adc_topk_native
+
+    df, _, mat = planted
+    books = pq_fit(mat, m=8, k_codes=32)
+    codes_df = pq_encode(df, "vec_id", "embedding", books)
+    q = df.limit(15)
+    lut = {(r.query_id, r.neighbor_id): r.adc for r in pq_adc_topk(q, codes_df, books, k=5).collect()}
+    nat = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_adc_topk_native(q, codes_df, books, k=5).collect()
+    }
+    assert set(nat) == set(lut)
+    for k_ in nat:
+        assert abs(nat[k_] - lut[k_]) < 1e-9
+
+
+def test_ivfadc_native_matches_production(spark, planted):
+    """ivfadc_topk_native (all-native folds) and ivfadc_topk (Arrow
+    assignment + LUT gather) agree on neighbors and scores on the planted
+    corpus — the two configs implement one layout."""
+    from dig_entity_resolution_spark.operators.ivf import fit_centroids_local  # noqa: F401
+    from dig_entity_resolution_spark.operators.ivf import kmeans_fit
+    from dig_entity_resolution_spark.operators.pq import (
+        ivfadc_topk,
+        ivfadc_topk_native,
+    )
+
+    df, _, mat = planted
+    books = pq_fit(mat, m=8, k_codes=32)
+    cents = kmeans_fit(df, "vec_id", "embedding", k=8, iters=5, seed=7)
+    q = df.limit(15)
+    prod = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in ivfadc_topk(q, df, cents, books, k=5, nprobe=2).collect()
+    }
+    nat = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in ivfadc_topk_native(q, df, cents, books, k=5, nprobe=2).collect()
+    }
+    assert set(nat) == set(prod)
+    for k_ in nat:
+        assert abs(nat[k_] - prod[k_]) < 1e-9
