@@ -13,7 +13,7 @@ the candidate side never materializes O(n^2) — every family blocks first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -300,3 +300,126 @@ def embedding_dup_pairs(
     return cand.select(
         "id1", "id2", cosine_native("v1", "v2").alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring (sub-document) dedup — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" (VERDICT r3
+# gap #3). The paper builds a suffix array; the Spark-scale equivalent is
+# fixed-length token-window matching: every length-L token window is
+# hashed, windows whose hash occurs more than once anywhere in the corpus
+# are duplicated text, and every occurrence EXCEPT the globally first
+# (min (doc_id, pos)) is removed. Overlapping flagged windows merge into
+# maximal spans, so a 200-token duplicated passage is removed as one span,
+# not 193 separate windows.
+# ---------------------------------------------------------------------------
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """(doc_id, span_start, span_end): merged token spans of duplicated
+    substrings to remove — every occurrence of a duplicated length-
+    `min_len` token window except the corpus-wide first, islands-merged.
+
+    Scale shape (100 TB): the window explode is LINEAR in token count
+    (one row per position); the duplicate detection is one groupBy on the
+    window's md5 key with map-side partial aggregation (min(struct) +
+    count — no window function over the hot key, so a boilerplate gram
+    repeated 10^9 times costs one combine tree, not one sort partition).
+    The only per-doc sort is the island merge, bounded by that doc's
+    flagged-window count. Tokenization is plain single-space split —
+    byte-parity with the SQL twin's string_split.
+    """
+    doc = F.col(id_col)
+    toks = docs.select(
+        doc.alias("_doc"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    n = F.size("_toks")
+    grams = toks.filter(n >= min_len).select(
+        "_doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - min_len, F.lit(1)),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, min_len), " ")),
+            )
+        ).alias("pos", "gkey"),
+    )
+    grp = grams.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col("_doc").alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    flagged = (
+        grams.join(grp.filter(F.col("_cnt") > 1), "gkey")
+        .filter(
+            ~(
+                (F.col("_doc") == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .select("_doc", F.col("pos").alias("s"), (F.col("pos") + min_len).alias("e"))
+    )
+    w = Window.partitionBy("_doc").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("_doc", "_island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    ).select(F.col("_doc").alias(id_col), "span_start", "span_end")
+
+
+def repeated_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Every input doc with duplicated substrings excised: (id, n_tokens,
+    n_dup_spans, n_removed_tokens, cleaned_text). The first occurrence of
+    each duplicated passage survives; later occurrences are cut at token
+    granularity. Docs without duplication pass through unchanged."""
+    spans = repeated_substring_spans(docs, id_col, text_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    out = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ),
+        )
+        .withColumn("_toks", toks)
+        .withColumn(
+            "_kept",
+            F.filter(
+                "_toks",
+                lambda t, i: ~F.exists(
+                    "_spans",
+                    lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+                ),
+            ),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_spans").cast("long").alias("n_dup_spans"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed_tokens"),
+        F.array_join("_kept", " ").alias("cleaned_text"),
+    )

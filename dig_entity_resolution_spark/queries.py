@@ -2184,6 +2184,142 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+# -- Repeated-substring dedup + decontamination (training-data hygiene) ------
+
+_RS_L = 8  # duplicated-window length in tokens
+
+_SQL_DOC_TOKS = "toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)"
+
+
+@_q(
+    "repeated_substring_dedup",
+    f"""WITH {_SQL_DOC_TOKS},
+    g AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(tokens[pos+1 : pos+{_RS_L}], ' ')) AS gkey
+      FROM (
+        SELECT doc_id, tokens,
+               unnest(range(0, greatest(len(tokens) - {_RS_L} + 1, 0))) AS pos
+        FROM toks
+      )
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rnk,
+             count(*) OVER (PARTITION BY gkey) AS cnt
+      FROM g
+    ),
+    flagged AS (
+      SELECT doc_id, pos AS s, pos + {_RS_L} AS e FROM occ
+      WHERE cnt > 1 AND rnk > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new
+      FROM flagged
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             sum(new) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(s) AS s, max(e) AS e
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    allpos AS (
+      SELECT doc_id, tokens, unnest(range(0, len(tokens))) AS p FROM toks
+    ),
+    kept AS (
+      SELECT a.doc_id, a.p, a.tokens[a.p + 1] AS tok
+      FROM allpos a
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = a.doc_id AND a.p >= s.s AND a.p < s.e)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(tok ORDER BY p), ' ') AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.tokens)::BIGINT AS n_tokens,
+           coalesce(sc.n_spans, 0)::BIGINT AS n_dup_spans,
+           (len(t.tokens) - coalesce(a.n_kept, 0))::BIGINT AS n_removed_tokens,
+           coalesce(a.cleaned, '') AS cleaned_text
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id) sc
+           USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)""",
+)
+def q_repeated_substring_dedup(spark, sf_dir):
+    """Sub-document exact dedup (Lee et al. 2022): every occurrence of a
+    duplicated length-8 token window except the corpus-wide first is
+    excised, overlapping windows merged into maximal spans. The Spark side
+    detects duplicates with a skew-safe groupBy(min(struct), count) — no
+    window over the hot gram key; the SQL twin uses the equivalent
+    row_number formulation (operators/dedup.py repeated_substring_dedup)."""
+    from .operators.dedup import repeated_substring_dedup
+
+    return repeated_substring_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", min_len=_RS_L
+    )
+
+
+@_q(
+    "decontamination",
+    f"""WITH hold AS (
+      SELECT doc_id, text FROM documents
+      WHERE substring(md5(doc_id::VARCHAR), 32, 1) = '0'
+    ),
+    corp AS (
+      SELECT doc_id, text FROM documents
+      WHERE substring(md5(doc_id::VARCHAR), 32, 1) <> '0'
+    ),
+    ht AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM hold),
+    hg AS (
+      SELECT DISTINCT md5(array_to_string(tokens[p+1 : p+{_RS_L}], ' ')) AS gkey
+      FROM (SELECT doc_id, tokens,
+                   unnest(range(0, greatest(len(tokens) - {_RS_L} + 1, 0))) AS p
+            FROM ht)
+    ),
+    ct AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corp),
+    cg AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tokens[p+1 : p+{_RS_L}], ' ')) AS gkey
+      FROM (SELECT doc_id, tokens,
+                   unnest(range(0, greatest(len(tokens) - {_RS_L} + 1, 0))) AS p
+            FROM ct)
+    ),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_overlap
+      FROM cg JOIN hg USING (gkey) GROUP BY doc_id
+    )
+    SELECT c.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 1 AS contaminated
+    FROM corp c LEFT JOIN hits h USING (doc_id)""",
+)
+def q_decontamination(spark, sf_dir):
+    """Train/eval n-gram-overlap decontamination: the holdout is the
+    deterministic md5-bucket slice of documents (last md5 hex digit of
+    doc_id = '0', ~6%), the corpus is the rest; a corpus doc is
+    contaminated when it shares any length-8 token window with the
+    holdout. The holdout key set is broadcast — the 100 TB side is never
+    shuffled on the gram key (operators/decontaminate.py)."""
+    from .operators.decontaminate import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    holdout = d.filter(bucket == "0")
+    corpus = d.filter(bucket != "0")
+    return decontaminate(
+        corpus, holdout, "doc_id", "text", n=_RS_L, min_hits=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

@@ -153,3 +153,72 @@ def test_embedding_dup_pairs(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_repeated_substring_spans_merge_and_keep_first(spark):
+    from dig_entity_resolution_spark.operators.dedup import (
+        repeated_substring_dedup,
+        repeated_substring_spans,
+    )
+
+    passage = "a b c d e f g h i j k l"  # 12 tokens → 5 dup 8-grams, 1 span
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " x y z"),            # first occurrence — kept
+            (2, "p q r " + passage + " s t"),   # later occurrence — excised
+            (3, "u v w only unique tokens here none repeat at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_substring_spans(docs, min_len=8).collect()
+    }
+    # doc 2: the 12-token passage starts at token 3 → one merged span [3, 15)
+    assert spans == {(2, 3, 15)}
+    out = {r.doc_id: r for r in repeated_substring_dedup(docs, min_len=8).collect()}
+    assert out[1].n_removed_tokens == 0 and out[1].cleaned_text.startswith("a b c")
+    assert out[2].n_removed_tokens == 12 and out[2].cleaned_text == "p q r s t"
+    assert out[2].n_dup_spans == 1
+    assert out[3].n_removed_tokens == 0
+
+
+def test_repeated_substring_within_one_doc(spark):
+    from dig_entity_resolution_spark.operators.dedup import repeated_substring_dedup
+
+    rep = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(7, rep + " mid point filler words go here " + rep)],
+        "doc_id long, text string",
+    )
+    r = repeated_substring_dedup(docs, min_len=8).collect()[0]
+    # second occurrence of the 8-token run removed, first kept
+    assert r.n_removed_tokens == 8
+    assert r.cleaned_text == rep + " mid point filler words go here"
+
+
+def test_decontaminate_flags_overlap(spark):
+    from dig_entity_resolution_spark.operators.decontaminate import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    holdout = spark.createDataFrame(
+        [(100, "held out question text " + leak)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "training text containing " + leak + " verbatim"),
+            (2, "completely clean training document with no overlap at all ok"),
+            (3, "short doc"),  # shorter than n → never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, holdout, n=8).collect()}
+    assert out[1].contaminated and out[1].n_overlap >= 1
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert not out[3].contaminated
+    # min_hits raises the bar: one shared window is no longer enough
+    strict = {
+        r.doc_id: r
+        for r in decontaminate(corpus, holdout, n=8, min_hits=5).collect()
+    }
+    assert not strict[1].contaminated or strict[1].n_overlap >= 5
