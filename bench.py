@@ -50,8 +50,12 @@ BENCH_QUERIES = [
     "embedding_ann_lsh",
     "embedding_ann_hyperplane",
     "embedding_ivf_production",
-    "embedding_pq_topk",
-    "embedding_ivfadc_topk",
+    # the production (BLAS/LUT) PQ configs — the *_topk twins are the
+    # interpreted sequential-fold oracle paths, correctness not throughput
+    "embedding_pq_production",
+    "embedding_ivfadc_production",
+    "repeated_substring_dedup",
+    "decontamination",
     "sorted_neighborhood",
     "events_last_order_asof",
     "connected_components",

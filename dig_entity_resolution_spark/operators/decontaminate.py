@@ -23,24 +23,25 @@ from pyspark.sql import functions as F
 
 
 def _gram_keys(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gkey): DISTINCT md5 keys of every length-`n` token window.
+    """(id, gkey): md5 keys of every length-`n` token window, de-duplicated
+    WITHIN each doc by a row-local array_distinct — never a global
+    .distinct(), which would shuffle the whole corpus gram stream on the
+    gram key (caught by the plan check: an Exchange on the 100 TB side).
     Single-space tokenization, same as repeated_substring_spans."""
     toks = docs.select(
         F.col(id_col).alias("_doc"), F.split(F.col(text_col), " ").alias("_toks")
     )
     sz = F.size("_toks")
-    return (
-        toks.filter(sz >= n)
-        .select(
-            "_doc",
-            F.explode(
+    return toks.filter(sz >= n).select(
+        "_doc",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), sz - n, F.lit(1)),
                     lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, n), " ")),
                 )
-            ).alias("gkey"),
-        )
-        .distinct()
+            )
+        ).alias("gkey"),
     )
 
 

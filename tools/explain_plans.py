@@ -83,6 +83,30 @@ CHECKS = {
         "must": ["Window", "Union"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "repeated_substring_dedup": {
+        # gram explode + groupBy + islands window + HOF reconstruction —
+        # all native expressions, no Python, no all-pairs join
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "decontamination": {
+        # the holdout gram-key set must BROADCAST — the corpus side is
+        # never shuffled on the gram key at 100 TB
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "embedding_pq_topk": {
+        # native sequential-fold oracle twin: the exhaustive ADC scan is a
+        # deliberate broadcast nested-loop (small query side), but there
+        # must be NO Python anywhere
+        "must": [],
+        "must_not": ["ArrowEvalPython", "BatchEvalPython"],
+    },
+    "embedding_pq_production": {
+        # BLAS encode + LUT scoring: MapInPandas, never row-wise Python
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "BatchEvalPython"],
+    },
     "stratified_sample": {
         # pure function of (salt, id): ONE codegen'd filter directly over
         # the scan (the projection prunes into the scan) — no shuffle, no
