@@ -245,10 +245,14 @@ def main() -> None:
     #  * TWO temporally separated measurement windows (ABAB): a single
     #    window is one sample of box weather — an r3 re-run saw the
     #    no-Spark CPU control itself drop 18% inside one window, dragging
-    #    every ratio with it. The headline is the COHERENT best window
-    #    (all four terms from the same minutes — never mixing a good
-    #    window's 32-core wall with a bad window's 8-core wall, which
-    #    would overstate efficiency); both windows are recorded.
+    #    every ratio with it. Each window's ratios stay COHERENT (all four
+    #    terms from the same minutes — never mixing a good window's
+    #    32-core wall with a bad window's 8-core wall). Headline split
+    #    (r4, ADVICE r3): THROUGHPUT fields (pairs_per_sec_*, walls)
+    #    report the best window — the best-of-N convention every part-1
+    #    query uses; EFFICIENCY ratios report the MEDIAN across windows
+    #    (max-of-ratios is upward-biased), with the best window's ratios
+    #    kept under best_window_* labels. Both windows are recorded.
     if FAST:
         r32 = _scale_worker("measure", "32", hydrated, "2", pin_cpus=32)
         er["n_pairs"] = r32["n"]

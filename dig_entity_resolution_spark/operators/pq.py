@@ -301,7 +301,9 @@ def ivfadc_topk(
         q_lut.join(c_codes, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup: corpus cells are nprobe=1 (one cell per vector) and a
+        # query's probe cells are distinct — (query, neighbor) is unique
+        # by construction; dropDuplicates was a pure extra shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     return (
@@ -484,7 +486,10 @@ def ivfadc_topk_native(
                 "adc"
             ),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: each corpus vector lives in exactly ONE cell
+        # (rank==1) and a query's probed cells are distinct, so a
+        # (query, neighbor) pair occurs at most once — a dropDuplicates
+        # here would be a pure extra shuffle (r4 review)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     return (

@@ -36,11 +36,19 @@ from pyspark.sql import functions as F
 def _local_file_size(uri: str) -> int | None:
     """Byte size of a file:// (or bare-path) URI via os.stat; None for a
     remote scheme (hdfs/s3 — post-write integrity there rests on the object
-    store's own guarantees) or a missing/unreadable file."""
+    store's own guarantees) or a missing/unreadable file.
+
+    input_file_name() returns URL-ENCODED URIs — a partition dir like
+    `cell=a b` comes back as `cell=a%20b` — so the path must be unquoted
+    before stat, and a `file://host/...` authority form is only local when
+    the host is empty/localhost (r4 review)."""
     if uri.startswith("file:"):
-        path = uri[len("file:") :]
-        while path.startswith("//"):
-            path = path[1:]
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        if parsed.netloc not in ("", "localhost"):
+            return None
+        path = unquote(parsed.path)
     elif "://" in uri:
         return None
     else:

@@ -1599,18 +1599,24 @@ def _ivf_cents():
     return _ivf_cents._cache
 
 
-def _ivf_sql():
-    """Lazy oracle-SQL builder (resolved by oracle_queries(), not import)."""
+def _cent_values(cents):
+    """L2-normalized centroids as a SQL VALUES literal — the ONE rendering
+    shared by _ivf_sql and _ivfadc_sql (r4 review: duplicated builders)."""
     import numpy as np
 
-    cents = _ivf_cents()
-    if cents is None:
-        return None
     c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    values = ", ".join(
+    return ", ".join(
         "(" + str(i) + ", [" + ",".join(repr(float(x)) for x in c_norm[i]) + "]::DOUBLE[])"
         for i in range(len(cents))
     )
+
+
+def _ivf_sql():
+    """Lazy oracle-SQL builder (resolved by oracle_queries(), not import)."""
+    cents = _ivf_cents()
+    if cents is None:
+        return None
+    values = _cent_values(cents)
     return f"""WITH cents(cell, cv) AS (VALUES {values}),
     ranked_cells AS (
       SELECT e.vec_id, e.embedding, c.cell,
@@ -1753,6 +1759,12 @@ def q_events_last_order_asof(spark, sf_dir):
 # -- PQ / IVFADC (codebook artifact shared with the SQL twins) ---------------
 
 
+#: ONE codebook config for the oracle twin, its fallback fit, and both
+#: production queries — a single drift point (r4 review: four literal
+#: copies could silently desynchronize the twin from the production path)
+_PQ_PARAMS = dict(m=8, k_codes=32, iters=10, seed=7)
+
+
 def _pq_books():
     """Fixed PQ codebook artifact shared by the Spark queries and the SQL
     twins — fit ONCE, serially, on the oracle fixture (same lazy/cached/
@@ -1764,7 +1776,7 @@ def _pq_books():
 
         path = os.path.join(_IVF_ORACLE_DIR, "embeddings.parquet")
         try:
-            _pq_books._cache = pq_fit_local(path, m=8, k_codes=32, iters=10, seed=7)
+            _pq_books._cache = pq_fit_local(path, **_PQ_PARAMS)
         except (FileNotFoundError, OSError) as e:
             import warnings
 
@@ -1782,7 +1794,7 @@ def _pq_fallback_books(sf_dir):
     from .operators.pq import pq_fit_local
 
     return pq_fit_local(
-        f"{sf_dir}/embeddings.parquet", m=8, k_codes=32, iters=10, seed=7
+        f"{sf_dir}/embeddings.parquet", **_PQ_PARAMS
     )
 
 
@@ -1895,13 +1907,7 @@ def _ivfadc_sql():
     cents = _ivf_cents()
     if books is None or cents is None:
         return None
-    import numpy as np
-
-    c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    cent_vals = ", ".join(
-        "(" + str(i) + ", [" + ",".join(repr(float(x)) for x in c_norm[i]) + "]::DOUBLE[])"
-        for i in range(len(cents))
-    )
+    cent_vals = _cent_values(cents)
     books_values, codes_cte, adc_tpl = _pq_sql_parts(books)
     adc = adc_tpl % {"q": "q", "n": "c"}
     return f"""WITH cents(cell, cv) AS (VALUES {cent_vals}),
@@ -1924,7 +1930,7 @@ def _ivfadc_sql():
       FROM ranked_cells WHERE rnk <= 2
     ),
     scored AS (
-      SELECT DISTINCT q.query_id, c.neighbor_id, {adc} AS adc
+      SELECT q.query_id, c.neighbor_id, {adc} AS adc
       FROM probes q JOIN corpus c USING (cell)
       WHERE q.query_id <> c.neighbor_id
     ),
@@ -1981,7 +1987,7 @@ def q_embedding_pq_production(spark, sf_dir):
     from .operators.pq import pq_adc_topk, pq_encode, pq_fit_local
 
     books = pq_fit_local(
-        f"{sf_dir}/embeddings.parquet", m=8, k_codes=32, iters=10, seed=7
+        f"{sf_dir}/embeddings.parquet", **_PQ_PARAMS
     )
     emb = _tbl(spark, sf_dir, "embeddings")
     codes = pq_encode(emb, "vec_id", "embedding", books)
@@ -2011,7 +2017,7 @@ def q_embedding_ivfadc_production(spark, sf_dir):
         f"{sf_dir}/embeddings.parquet", k=max(8, int(n ** 0.5)), iters=10, seed=7
     )
     books = pq_fit_local(
-        f"{sf_dir}/embeddings.parquet", m=8, k_codes=32, iters=10, seed=7
+        f"{sf_dir}/embeddings.parquet", **_PQ_PARAMS
     )
     emb = _tbl(spark, sf_dir, "embeddings")
     out = ivfadc_topk(emb, emb, cents, books, "vec_id", "embedding", k=3, nprobe=2)

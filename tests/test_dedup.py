@@ -216,9 +216,11 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1].contaminated and out[1].n_overlap >= 1
     assert not out[2].contaminated and out[2].n_overlap == 0
     assert not out[3].contaminated
-    # min_hits raises the bar: one shared window is no longer enough
+    # min_hits raises the bar: doc 1 shares exactly ONE window (the leak
+    # is exactly 8 tokens), so at min_hits=5 it must NOT be contaminated
+    assert out[1].n_overlap == 1
     strict = {
         r.doc_id: r
         for r in decontaminate(corpus, holdout, n=8, min_hits=5).collect()
     }
-    assert not strict[1].contaminated or strict[1].n_overlap >= 5
+    assert not strict[1].contaminated and strict[1].n_overlap == 1

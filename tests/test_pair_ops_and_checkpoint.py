@@ -193,3 +193,24 @@ def test_checkpoint_detects_post_write_data_damage(spark, tmp_path):
     # delete it outright — still incomplete
     os.remove(files[0])
     assert not ck.is_complete("stage_a")
+
+
+def test_checkpoint_integrity_covers_url_encoded_paths(spark, tmp_path):
+    """input_file_name() returns URL-ENCODED URIs (a space becomes %20) —
+    the byte stamp must decode before stat or the integrity check is
+    silently disabled for exactly those paths (r4 review)."""
+    import pyspark.sql.functions as F
+
+    root = tmp_path / "ware house"  # space → %20 in the file URI
+    root.mkdir()
+    ck = ParquetCheckpoint(spark, str(root), "r1")
+    df = (
+        spark.range(60)
+        .withColumnRenamed("id", "record_id")
+        .withColumn("cell", F.concat(F.lit("a "), (F.col("record_id") % 2).cast("string")))
+    )
+    ck.write("stage_a", df, partition_by=["cell"])  # partition value with a space
+    lin = ck.lineage("stage_a")
+    rows = lin.select("file", "bytes").collect()
+    assert rows and all(r["bytes"] is not None and r["bytes"] > 0 for r in rows)
+    assert ck.is_complete("stage_a")
