@@ -330,7 +330,15 @@ def repeated_substring_spans(
     window's md5 key with map-side partial aggregation (min(struct) +
     count — no window function over the hot key, so a boilerplate gram
     repeated 10^9 times costs one combine tree, not one sort partition).
-    The only per-doc sort is the island merge, bounded by that doc's
+    The grp side is filtered to DUPLICATED grams before the join back, so
+    it broadcasts when duplication is sparse (measured plan at sf0.01:
+    the gram stream joins map-side with zero shuffle) and degrades to a
+    sort-merge join only when boilerplate is heavy. The gram stream is
+    deliberately RECOMPUTED for the join probe rather than persisted
+    (notes #17 tradeoff): one row per token position is larger than the
+    source text, and re-running a projection+explode over the scan is
+    cheaper at scale than materializing it to executor storage. The only
+    per-doc sort is the island merge, bounded by that doc's
     flagged-window count. Tokenization is plain single-space split —
     byte-parity with the SQL twin's string_split.
     """

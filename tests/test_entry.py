@@ -46,3 +46,18 @@ def test_query_runs(spark, name):
     df = fn(spark, SF)
     assert df.columns  # has a schema
     df.limit(5).collect()  # executes
+
+
+def test_rows_only_queries_register_last():
+    """The driver gate recorded exactly the first 50 registry entries at
+    r3 — hash-checkable queries must occupy the prefix so a coverage cap
+    only ever drops rows-only-by-design configs."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    seen_rows_only = False
+    for n in names:
+        if n not in oracles:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, f"oracle-backed {n} after a rows-only entry"
+    assert len(oracles) >= 50
