@@ -1,0 +1,114 @@
+"""Sequence packing — map each document into fixed-capacity training
+examples (the GPT-style concat-and-chunk layout: all corpus tokens are
+concatenated in a deterministic order and sliced into `capacity`-token
+chunks; a document's tokens land in chunks floor(start/C)..floor((end-1)/C)).
+
+The whole computation is one GLOBAL RUNNING SUM of per-doc token counts —
+and the naive `Window.orderBy(key)` with no partitionBy is a scale
+killer: Spark executes an unpartitioned window in a SINGLE task, so the
+100 TB corpus would funnel through one core. The scalable shape is the
+classic two-phase prefix sum:
+
+  1. bucket by a short prefix of the deterministic order key (md5, same
+     salt-hash rule as operators/sampling.py) — the prefix preserves the
+     global sort order across buckets;
+  2. per-BUCKET running sum via an ordinary partitioned window (each
+     bucket is a parallel task);
+  3. per-bucket totals (16^bucket_hex rows — ≤64Ki, driver-trivial) are
+     prefix-summed on the driver in bucket order and broadcast back as
+     the bucket's global offset.
+
+global_end(doc) = bucket_offset + within_bucket_running_sum — identical
+to the single-window answer (the order key's prefix IS the bucket, so
+bucket-major order equals global order), with parallelism = #buckets.
+All arithmetic is integer (token counts, `div`), so the DuckDB twin is
+exact with no float-fold caveats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    salt: str = "pack",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, global_start, first_chunk, last_chunk, n_chunks):
+    the packing map — where each doc's tokens land after the corpus is
+    concatenated in md5(salt:id) order and sliced into `capacity`-token
+    chunks. Deterministic (no RNG state), resume-safe, and stable under
+    any input partitioning. Tokenization is single-space split, the same
+    rule as repeated_substring_spans/decontaminate."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    ord_key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        ord_key.alias("_ord"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("_bkt", F.substring("_ord", 1, bucket_hex))
+
+    # phase 2: per-bucket running sum (parallel across buckets)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_within_end", F.sum("n_tokens").over(w))
+
+    # phase 3: bucket offsets — ≤16^bucket_hex rows on the driver
+    totals = sorted(
+        base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_t")).collect(),
+        key=lambda r: r["_bkt"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_bkt"], acc))
+        acc += r["_t"]
+    off_df = F.broadcast(
+        within.sparkSession.createDataFrame(offsets, "_bkt string, _off long")
+    )
+
+    out = (
+        within.join(off_df, "_bkt")
+        .withColumn("_gend", F.col("_off") + F.col("_within_end"))
+        .withColumn("global_start", F.col("_gend") - F.col("n_tokens"))
+    )
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        "global_start",
+        F.expr(f"global_start div {capacity}").alias("first_chunk"),
+        F.expr(f"(_gend - 1) div {capacity}").alias("last_chunk"),
+    ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
+
+
+def pack_chunk_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """(chunk_id, n_docs, n_tokens): per-training-example occupancy from a
+    pack_sequences map. A doc spanning k chunks contributes a row to each
+    via a bounded sequence explode (k ≤ n_tokens/capacity + 1); token
+    allocation per chunk is the span intersection — integer-exact."""
+    c = F.lit(capacity)
+    per = packed.select(
+        "global_start",
+        (F.col("global_start") + F.col("n_tokens")).alias("_gend"),
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("global_start"), F.col("chunk_id") * c)
+    hi = F.least(F.col("_gend"), (F.col("chunk_id") + 1) * c)
+    return (
+        per.withColumn("_alloc", hi - lo)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_alloc").cast("long").alias("n_tokens"),
+        )
+    )

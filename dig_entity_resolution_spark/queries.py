@@ -2326,6 +2326,77 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+# -- Sequence packing (concat-and-chunk training-example layout) -------------
+
+_PACK_C = 256  # chunk capacity in tokens (fixture docs average ~54 tokens)
+
+_SQL_PACK_CUM = f"""base AS (
+      SELECT doc_id, md5('pack:' || doc_id::VARCHAR) AS ord,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY ord, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS gend
+      FROM base
+    )"""
+
+
+@_q(
+    "sequence_packing",
+    f"""WITH {_SQL_PACK_CUM}
+    SELECT doc_id, n_tokens, (gend - n_tokens)::BIGINT AS global_start,
+           ((gend - n_tokens) // {_PACK_C})::BIGINT AS first_chunk,
+           ((gend - 1) // {_PACK_C})::BIGINT AS last_chunk,
+           (((gend - 1) // {_PACK_C}) - ((gend - n_tokens) // {_PACK_C}) + 1)::BIGINT
+             AS n_chunks
+    FROM cum""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing map: every doc's token span in
+    the md5-ordered corpus concatenation, sliced into 256-token training
+    examples. The Spark side computes the global running sum with the
+    two-phase bucketed prefix sum (operators/packing.py) — NOT an
+    unpartitioned window, which would run in one task; the single-window
+    DuckDB twin proves the two-phase answer identical. Integer-exact."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", capacity=_PACK_C, salt="pack"
+    )
+
+
+@_q(
+    "pack_chunk_stats",
+    f"""WITH {_SQL_PACK_CUM},
+    spans AS (
+      SELECT doc_id, (gend - n_tokens)::BIGINT AS gstart, gend::BIGINT AS gend,
+             ((gend - n_tokens) // {_PACK_C})::BIGINT AS fc,
+             ((gend - 1) // {_PACK_C})::BIGINT AS lc
+      FROM cum
+    ),
+    per AS (
+      SELECT doc_id, gstart, gend, unnest(range(fc, lc + 1)) AS chunk_id
+      FROM spans
+    )
+    SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+           sum(least(gend, (chunk_id + 1) * {_PACK_C})
+               - greatest(gstart, chunk_id * {_PACK_C}))::BIGINT AS n_tokens
+    FROM per GROUP BY chunk_id""",
+)
+def q_pack_chunk_stats(spark, sf_dir):
+    """Per-training-example occupancy of the packing map: how many docs
+    touch each chunk and the exact token allocation (span intersection —
+    every chunk except the last must hold exactly capacity tokens)."""
+    from .operators.packing import pack_chunk_stats, pack_sequences
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", capacity=_PACK_C, salt="pack"
+    )
+    return pack_chunk_stats(packed, _PACK_C)
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

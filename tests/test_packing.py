@@ -1,0 +1,84 @@
+"""Sequence packing (operators/packing.py): two-phase prefix sum equals
+the naive global window, partition invariance, chunk-fill exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.operators.packing import (
+    pack_chunk_stats,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 40)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_two_phase_cumsum_equals_global_window(spark, docs):
+    """The bucketed prefix sum must produce EXACTLY the global-window
+    answer (the bucket key is a prefix of the order key, so bucket-major
+    order is global order)."""
+    got = {
+        r.doc_id: (r.global_start, r.first_chunk, r.last_chunk)
+        for r in pack_sequences(docs, capacity=64).collect()
+    }
+    ord_key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    naive = docs.select(
+        "doc_id",
+        ord_key.alias("o"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    ).withColumn(
+        "gend",
+        F.sum("n").over(
+            Window.orderBy("o", "doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    for r in naive.collect():
+        gs = r.gend - r.n
+        assert got[r.doc_id] == (gs, gs // 64, (r.gend - 1) // 64)
+
+
+def test_packing_partition_invariance(spark, docs):
+    a = {tuple(r) for r in pack_sequences(docs, capacity=64).collect()}
+    b = {tuple(r) for r in pack_sequences(docs.repartition(13), capacity=64).collect()}
+    assert a == b
+
+
+def test_chunk_stats_full_chunks(spark, docs):
+    """Every chunk except the last holds exactly `capacity` tokens, the
+    last holds the remainder, and totals reconcile with the corpus."""
+    packed = pack_sequences(docs, capacity=64)
+    stats = {r.chunk_id: r for r in pack_chunk_stats(packed, 64).collect()}
+    total = sum(r.n_tokens for r in packed.collect())
+    last = max(stats)
+    assert set(stats) == set(range(last + 1))  # no gaps
+    for cid, r in stats.items():
+        if cid < last:
+            assert r.n_tokens == 64
+    assert stats[last].n_tokens == total - 64 * last
+    assert sum(r.n_tokens for r in stats.values()) == total
+
+
+def test_doc_spanning_many_chunks(spark):
+    big = spark.createDataFrame(
+        [(1, " ".join(["x"] * 300)), (2, "a b"), (3, "c d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(big, capacity=64).collect()}
+    assert out[1].n_chunks >= 5  # 300 tokens across 64-token chunks
+    assert out[2].n_chunks in (1, 2)
+
+
+def test_capacity_guard(spark, docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=0)

@@ -107,6 +107,12 @@ CHECKS = {
         "must": ["MapInPandas"],
         "must_not": ["CartesianProduct", "BatchEvalPython"],
     },
+    "sequence_packing": {
+        # two-phase prefix sum: per-BUCKET window (parallel) + broadcast
+        # bucket offsets — never an unpartitioned global window, no Python
+        "must": ["Window", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "stratified_sample": {
         # pure function of (salt, id): ONE codegen'd filter directly over
         # the scan (the projection prunes into the scan) — no shuffle, no
