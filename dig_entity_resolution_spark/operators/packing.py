@@ -14,9 +14,12 @@ classic two-phase prefix sum:
      global sort order across buckets;
   2. per-BUCKET running sum via an ordinary partitioned window (each
      bucket is a parallel task);
-  3. per-bucket totals (16^bucket_hex rows — ≤64Ki, driver-trivial) are
-     prefix-summed on the driver in bucket order and broadcast back as
-     the bucket's global offset.
+  3. per-bucket totals (16^bucket_hex rows — tiny) are prefix-summed by
+     an unpartitioned window over THAT tiny aggregate (single task over
+     ≤64Ki rows is fine; it is the corpus-sized unpartitioned window
+     that is not) and broadcast back as the bucket's global offset —
+     fully LAZY: constructing the DataFrame runs no job (r4 review: a
+     driver-side collect here made every .explain() a full corpus pass).
 
 global_end(doc) = bucket_offset + within_bucket_running_sum — identical
 to the single-window answer (the order key's prefix IS the bucket, so
@@ -47,8 +50,18 @@ def pack_sequences(
     rule as repeated_substring_spans/decontaminate."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    ord_key = F.md5(
-        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    if not 1 <= bucket_hex <= 8:
+        # 0 silently degenerates to the one-task global window; large
+        # values explode the bucket aggregate toward one row per doc
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    # a NULL id would produce a NULL order key, and Spark's nulls-first
+    # window order diverges from the DuckDB twin's nulls-last — fail
+    # loudly inside the plan rather than packing it somewhere undefined
+    ord_key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"pack_sequences: NULL {id_col}")),
+    ).otherwise(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
     )
     base = docs.select(
         F.col(id_col),
@@ -64,17 +77,17 @@ def pack_sequences(
     )
     within = base.withColumn("_within_end", F.sum("n_tokens").over(w))
 
-    # phase 3: bucket offsets — ≤16^bucket_hex rows on the driver
-    totals = sorted(
-        base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_t")).collect(),
-        key=lambda r: r["_bkt"],
+    # phase 3: bucket offsets, LAZILY — exclusive prefix over the tiny
+    # bucket-totals aggregate (unpartitioned window over ≤16^bucket_hex
+    # rows), broadcast into the join
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["_bkt"], acc))
-        acc += r["_t"]
     off_df = F.broadcast(
-        within.sparkSession.createDataFrame(offsets, "_bkt string, _off long")
+        base.groupBy("_bkt")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .select("_bkt", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"))
     )
 
     out = (

@@ -82,3 +82,22 @@ def test_doc_spanning_many_chunks(spark):
 def test_capacity_guard(spark, docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, capacity=0)
+
+
+def test_pack_sequences_is_lazy_and_guards(spark, docs):
+    """Constructing the packing DataFrame must run NO Spark job (r4
+    review: an eager offsets collect made every .explain() a full corpus
+    pass), and the guards reject degenerate bucket_hex and NULL ids."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = pack_sequences(docs, capacity=64)
+    df.explain()  # plan-only
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "construction/explain ran a Spark job"
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=64, bucket_hex=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=64, bucket_hex=9)
+    bad = spark.createDataFrame([(None, "a b c")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pack_sequences(bad, capacity=64).collect()
