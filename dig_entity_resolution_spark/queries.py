@@ -2397,18 +2397,116 @@ def q_pack_chunk_stats(spark, sf_dir):
     return pack_chunk_stats(packed, _PACK_C)
 
 
+# -- Near-dup clustering end-to-end (dedup product: which docs to drop) ------
+
+_NDC_THRESHOLD = 0.5
+
+
+def _ndc_sql():
+    """Composes the minhash CTE with the recursive-CTE connected
+    components — the full near-dup removal product in one query."""
+    unpivot = " UNION ALL ".join(
+        f"SELECT record_id, band{b} AS band_hash, {b} AS band_id FROM bands"
+        for b in range(_BANDS)
+    )
+    return f"""WITH RECURSIVE {_sql_minhash_cte()},
+    unpivoted AS ({unpivot}),
+    cand AS (
+      SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
+      FROM unpivoted a JOIN unpivoted b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.record_id < b.record_id
+    ),
+    scored AS (
+      SELECT c.id1, c.id2
+      FROM cand c
+      JOIN shingled s1 ON s1.record_id = c.id1
+      JOIN shingled s2 ON s2.record_id = c.id2
+      WHERE len(list_intersect(s1.shingles, s2.shingles))::DOUBLE /
+            len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+            >= {_NDC_THRESHOLD}
+    ),
+    sym AS (
+      SELECT id1 AS src, id2 AS dst FROM scored
+      UNION ALL SELECT id2, id1 FROM scored
+    ),
+    cc(n, c) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT sym.dst, cc.c FROM cc JOIN sym ON cc.n = sym.src
+      WHERE cc.c < sym.dst
+    ),
+    assign AS (SELECT n AS doc_id, min(c) AS cid FROM cc GROUP BY n),
+    lab AS (
+      SELECT d.doc_id, coalesce(a.cid, d.doc_id) AS dup_cluster_id
+      FROM documents d LEFT JOIN assign a USING (doc_id)
+    ),
+    sizes AS (
+      SELECT dup_cluster_id, count(*)::BIGINT AS cluster_size
+      FROM lab GROUP BY dup_cluster_id
+    )
+    SELECT l.doc_id, l.dup_cluster_id, s.cluster_size,
+           (l.doc_id = l.dup_cluster_id) AS is_canonical
+    FROM lab l JOIN sizes s USING (dup_cluster_id)"""
+
+
+@_q("near_dup_clusters", _ndc_sql)
+def q_near_dup_clusters(spark, sf_dir):
+    """The dedup END PRODUCT: MinHash-LSH near-dup pairs (exact-jaccard
+    verified, >= 0.5) -> large-star/small-star connected components ->
+    per-doc dup cluster, size, and canonical flag. Training pipelines
+    keep `is_canonical` rows and drop the rest. Composes the two
+    oracle-proven halves (minhash_lsh_dup_pairs, connected_components);
+    the DuckDB twin re-derives the whole chain with a recursive CTE."""
+    from .operators.cluster import connected_components
+    from .operators.dedup import minhash_lsh_dup_pairs
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    pairs = minhash_lsh_dup_pairs(
+        d,
+        "doc_id",
+        "text",
+        shingle_k=5,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        jaccard_threshold=_NDC_THRESHOLD,
+        hash_fn="md5",
+        max_bucket=1 << 40,
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    assign = connected_components(edges).withColumnRenamed("record_id", "doc_id")
+    lab = (
+        d.select("doc_id")
+        .join(assign, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("dup_cluster_id"),
+        )
+    )
+    w = Window.partitionBy("dup_cluster_id")
+    return lab.select(
+        "doc_id",
+        "dup_cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("dup_cluster_id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
 
 
 #: Oracle-backed INGREDIENT queries whose semantics are transitively
-#: exercised by a composite query (char_shingles feeds
-#: minhash_signatures; lsh_band_buckets feeds minhash_lsh_dup_pairs).
-#: They sort to the END of the oracle-backed group so that, under the
-#: suspected 50-row gate cap, a dropped entry is one whose behavior the
-#: gate still covers through its consumer — never a standalone operator.
-_INGREDIENT_QUERIES = frozenset({"char_shingles", "lsh_band_buckets"})
+#: exercised by a composite query (char_shingles and minhash_signatures
+#: feed the banding chain; lsh_band_buckets feeds minhash_lsh_dup_pairs,
+#: itself composed end-to-end by near_dup_clusters). They sort to the
+#: END of the oracle-backed group so that, under the suspected 50-row
+#: gate cap, a dropped entry is one whose behavior the gate still covers
+#: through its consumer — never a standalone operator.
+_INGREDIENT_QUERIES = frozenset(
+    {"char_shingles", "minhash_signatures", "lsh_band_buckets"}
+)
 
 
 def _ordered_names() -> list[str]:

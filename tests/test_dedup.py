@@ -224,3 +224,35 @@ def test_decontaminate_flags_overlap(spark):
         for r in decontaminate(corpus, holdout, n=8, min_hits=5).collect()
     }
     assert not strict[1].contaminated and strict[1].n_overlap == 1
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    """The composite dedup product: LSH pairs -> CC -> canonical flags.
+    Planted near-copies must land in one cluster whose canonical is the
+    min doc id; unrelated docs stay singletons."""
+    from dig_entity_resolution_spark.operators.cluster import connected_components
+    from dig_entity_resolution_spark.operators.dedup import minhash_lsh_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base),
+        (11, base + " extra"),           # near-copy of 10
+        (12, "x " + base),               # near-copy of 10/11 → same cluster
+        (20, "completely different text about spark shuffles and parquet files"),
+        (21, "another unrelated document mentioning broadcast joins and codegen"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_dup_pairs(
+        d, "doc_id", "text", shingle_k=5, num_perm=16, bands=8,
+        jaccard_threshold=0.5, hash_fn="md5", max_bucket=1 << 40,
+    )
+    edges = pairs.selectExpr("id1 as src", "id2 as dst")
+    assign = connected_components(edges).withColumnRenamed("record_id", "doc_id")
+    lab = {
+        r.doc_id: r.cluster_id
+        for r in d.select("doc_id").join(assign, "doc_id", "left").withColumn(
+            "cluster_id", F.coalesce("cluster_id", "doc_id")
+        ).collect()
+    }
+    assert lab[10] == lab[11] == lab[12] == 10  # canonical = min member
+    assert lab[20] == 20 and lab[21] == 21     # singletons untouched
