@@ -54,19 +54,32 @@ def pack_sequences(
         # 0 silently degenerates to the one-task global window; large
         # values explode the bucket aggregate toward one row per doc
         raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
-    # a NULL id would produce a NULL order key, and Spark's nulls-first
-    # window order diverges from the DuckDB twin's nulls-last — fail
-    # loudly inside the plan rather than packing it somewhere undefined
+    reserved = {
+        "_ord", "_bkt", "_within_end", "_off", "_gend",
+        "n_tokens", "global_start", "first_chunk", "last_chunk", "n_chunks",
+    }
+    if id_col in reserved:
+        # same reserved-name class asof_join guards: a colliding id would
+        # be silently overwritten by an internal/output column
+        raise ValueError(f"pack_sequences: id_col {id_col!r} is reserved")
+    # a NULL id would produce a NULL order key (Spark's nulls-first window
+    # order diverges from the DuckDB twin's nulls-last); a NULL text would
+    # silently produce an all-NULL span that pack_chunk_stats then DROPS.
+    # Fail loudly inside the plan for both (r4 review).
     ord_key = F.when(
         F.col(id_col).isNull(),
         F.raise_error(F.lit(f"pack_sequences: NULL {id_col}")),
     ).otherwise(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
     )
+    n_tok = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(F.lit(f"pack_sequences: NULL {text_col}")),
+    ).otherwise(F.size(F.split(F.col(text_col), " ")).cast("long"))
     base = docs.select(
         F.col(id_col),
         ord_key.alias("_ord"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     ).withColumn("_bkt", F.substring("_ord", 1, bucket_hex))
 
     # phase 2: per-bucket running sum (parallel across buckets)
@@ -108,7 +121,12 @@ def pack_chunk_stats(packed: DataFrame, capacity: int) -> DataFrame:
     """(chunk_id, n_docs, n_tokens): per-training-example occupancy from a
     pack_sequences map. A doc spanning k chunks contributes a row to each
     via a bounded sequence explode (k ≤ n_tokens/capacity + 1); token
-    allocation per chunk is the span intersection — integer-exact."""
+    allocation per chunk is the span intersection — integer-exact.
+
+    `capacity` must be the capacity the map was BUILT with: with a
+    mismatched value the span-chunk intersection goes empty or negative,
+    which the in-plan guard below turns into a loud error instead of
+    silently-garbage token counts (r4 review)."""
     c = F.lit(capacity)
     per = packed.select(
         "global_start",
@@ -117,8 +135,17 @@ def pack_chunk_stats(packed: DataFrame, capacity: int) -> DataFrame:
     )
     lo = F.greatest(F.col("global_start"), F.col("chunk_id") * c)
     hi = F.least(F.col("_gend"), (F.col("chunk_id") + 1) * c)
+    alloc = F.when(
+        hi - lo <= 0,
+        F.raise_error(
+            F.lit(
+                "pack_chunk_stats: empty span/chunk intersection — "
+                "capacity does not match the packed map"
+            )
+        ),
+    ).otherwise(hi - lo)
     return (
-        per.withColumn("_alloc", hi - lo)
+        per.withColumn("_alloc", alloc)
         .groupBy("chunk_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -567,21 +567,27 @@ def q_lsh_band_buckets(spark, sf_dir):
     )
 
 
-@_q(
-    "minhash_lsh_dup_pairs",
-    f"WITH {_sql_minhash_cte()}, "
-    "unpivoted AS ("
-    + " UNION ALL ".join(
+def _sql_lsh_cand_cte() -> str:
+    """Band unpivot + bucket-join candidate pairs — the ONE rendering
+    shared by the minhash_lsh_dup_pairs oracle and _ndc_sql (r4 review:
+    two drifting copies)."""
+    unpivot = " UNION ALL ".join(
         f"SELECT record_id, band{b} AS band_hash, {b} AS band_id FROM bands"
         for b in range(_BANDS)
     )
-    + """),
+    return f"""unpivoted AS ({unpivot}),
 cand AS (
   SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
   FROM unpivoted a JOIN unpivoted b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
   WHERE a.record_id < b.record_id
-)
+)"""
+
+
+@_q(
+    "minhash_lsh_dup_pairs",
+    f"WITH {_sql_minhash_cte()}, {_sql_lsh_cand_cte()}"
+    + """
 SELECT c.id1, c.id2,
        round(len(list_intersect(s1.shingles, s2.shingles))::DOUBLE /
              len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
@@ -2405,18 +2411,8 @@ _NDC_THRESHOLD = 0.5
 def _ndc_sql():
     """Composes the minhash CTE with the recursive-CTE connected
     components — the full near-dup removal product in one query."""
-    unpivot = " UNION ALL ".join(
-        f"SELECT record_id, band{b} AS band_hash, {b} AS band_id FROM bands"
-        for b in range(_BANDS)
-    )
     return f"""WITH RECURSIVE {_sql_minhash_cte()},
-    unpivoted AS ({unpivot}),
-    cand AS (
-      SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
-      FROM unpivoted a JOIN unpivoted b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-      WHERE a.record_id < b.record_id
-    ),
+    {_sql_lsh_cand_cte()},
     scored AS (
       SELECT c.id1, c.id2
       FROM cand c

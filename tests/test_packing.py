@@ -101,3 +101,23 @@ def test_pack_sequences_is_lazy_and_guards(spark, docs):
     bad = spark.createDataFrame([(None, "a b c")], "doc_id long, text string")
     with pytest.raises(Exception, match="NULL doc_id"):
         pack_sequences(bad, capacity=64).collect()
+
+
+def test_pack_null_text_and_reserved_id_guards(spark):
+    """r4 review: NULL text must fail loudly (it previously produced an
+    all-NULL span that pack_chunk_stats silently dropped), and a reserved
+    id_col name must be rejected instead of silently overwritten."""
+    bad = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        pack_sequences(bad, capacity=64).collect()
+    ok = spark.createDataFrame([(1, "a b")], "_bkt long, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        pack_sequences(ok, id_col="_bkt", capacity=64)
+
+
+def test_chunk_stats_capacity_mismatch_raises(spark, docs):
+    """r4 review: a capacity that disagrees with the packed map produced
+    silently-garbage (even negative) token counts; now it raises."""
+    packed = pack_sequences(docs, capacity=256)
+    with pytest.raises(Exception, match="capacity does not match"):
+        pack_chunk_stats(packed, 16).collect()
