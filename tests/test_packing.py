@@ -121,3 +121,57 @@ def test_chunk_stats_capacity_mismatch_raises(spark, docs):
     packed = pack_sequences(docs, capacity=256)
     with pytest.raises(Exception, match="capacity does not match"):
         pack_chunk_stats(packed, 16).collect()
+
+
+try:
+    from hashlib import md5 as _md5
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=60),
+            min_size=1,
+            max_size=30,
+            unique=False,
+        ),
+        st.integers(min_value=1, max_value=100),
+        st.integers(min_value=1, max_value=3),
+    )
+    def test_packing_partitions_corpus_property(n_tokens_list, capacity, bucket_hex):
+        """Property: the packing map is EXACTLY the md5-ordered partition
+        of [0, total_tokens) — contiguous, disjoint, chunk ids by integer
+        division — for any doc sizes, capacity, and bucket width."""
+        spark = test_packing_partitions_corpus_property._spark
+        rows = [
+            (i, " ".join(["w"] * n)) for i, n in enumerate(n_tokens_list)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in pack_sequences(
+                docs, capacity=capacity, bucket_hex=bucket_hex
+            ).collect()
+        }
+        order = sorted(
+            range(len(n_tokens_list)),
+            key=lambda i: (_md5(f"pack:{i}".encode()).hexdigest(), i),
+        )
+        pos = 0
+        for i in order:
+            r = got[i]
+            assert r.global_start == pos
+            assert r.n_tokens == n_tokens_list[i]
+            assert r.first_chunk == pos // capacity
+            assert r.last_chunk == (pos + n_tokens_list[i] - 1) // capacity
+            pos += n_tokens_list[i]
+        assert pos == sum(n_tokens_list)
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark_for_property(spark):
+        test_packing_partitions_corpus_property._spark = spark
+
+except ImportError:  # hypothesis not installed — deterministic tests remain
+    pass
