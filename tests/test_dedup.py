@@ -256,3 +256,21 @@ def test_near_dup_clusters_end_to_end(spark):
     }
     assert lab[10] == lab[11] == lab[12] == 10  # canonical = min member
     assert lab[20] == 20 and lab[21] == 21     # singletons untouched
+
+
+def test_repeated_substring_extreme_boilerplate(spark):
+    """Skew probe: one 8-gram passage repeated across MANY docs — the
+    groupBy(min,count) path must keep exactly the global-first occurrence
+    and excise all others, with no window over the hot gram key."""
+    from dig_entity_resolution_spark.operators.dedup import repeated_substring_dedup
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique lead-in {i} " + boiler) for i in range(80)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_substring_dedup(docs, min_len=8).collect()}
+    assert out[0].n_removed_tokens == 0          # global first kept
+    removed = [i for i in range(1, 80) if out[i].n_removed_tokens > 0]
+    assert len(removed) == 79                    # every later occurrence cut
+    assert all(not out[i].cleaned_text.endswith("day") for i in removed)
