@@ -469,3 +469,38 @@ def test_incremental_upgrades_pre_warc_ts_base(spark, corpus, tmp_path):
         for r in incr.run_incremental(pages.filter(~split), "base").collect()
     )
     assert got == expect
+
+
+def test_repeated_substring_preclean_destroys_er_signal(spark, tmp_path):
+    """Composition HAZARD, pinned (r4): sub-document dedup excises text
+    duplicated ACROSS documents — which for an ER corpus is exactly the
+    shared entity text that blocking/scoring cluster on. Pre-cleaning ER
+    input with repeated_substring_dedup must therefore tank recall
+    (measured: F1 1.0 → <0.2), while the untouched pipeline stays at 1.0.
+    The operator is a TRAINING-DATA op; this test documents that it is
+    not an ER pre-clean and pins the measured interaction."""
+    import pyspark.sql.functions as F
+
+    from dig_entity_resolution_spark.operators.dedup import repeated_substring_dedup
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+    from dig_entity_resolution_spark.synth import generate_corpus
+
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=12, cluster_size=4, n_singletons=40
+    )
+    pages = spark.read.parquet(paths["pages"])
+    labels = spark.read.parquet(paths["labels"])
+
+    base = ERPipeline(spark, str(tmp_path / "wh"), "base", ERConfig())
+    assert base.evaluate(base.run(pages), labels).collect()[0].f1 == 1.0
+
+    cleaned = repeated_substring_dedup(pages, "url", "text", min_len=8)
+    # cluster members share >=8-token runs, so most pages lose text...
+    assert cleaned.filter(F.col("n_removed_tokens") > 0).count() > 0
+    repaired = pages.drop("text").join(
+        cleaned.select(F.col("url"), F.col("cleaned_text").alias("text")), "url"
+    )
+    pre = ERPipeline(spark, str(tmp_path / "wh"), "pre", ERConfig())
+    f1 = pre.evaluate(pre.run(repaired), labels).collect()[0].f1
+    # ...and resolution collapses: the dedup removed the match signal
+    assert f1 < 0.2
