@@ -1,0 +1,239 @@
+"""Byte-pair-encoding tokenization (VERDICT r4 gap #1 — a training-data
+pipeline budgets data in real tokenizer tokens, not whitespace counts).
+
+Three synchronized implementations of ONE deterministic spec, so the
+operator is oracle-checkable cross-engine (the notes-#25 recipe that made
+PQ hash-exact — fit the model artifact serially ONCE, inline identical
+literals into both engines):
+
+  * `fit_bpe_merges` — serial, deterministic BPE training (pure Python):
+    standard highest-frequency-pair merging over word frequencies, ties
+    broken by the lexicographically smallest pair. Word-internal only (no
+    end-of-word marker) — the variant choice is part of the spec.
+  * `bpe_token_count` / `bpe_tokens_word` — native Column expressions: the
+    merges table becomes a literal array<struct<a,b,ab>>, application is a
+    nested `F.aggregate` fold, entirely JVM-side (whole-stage codegen, no
+    Python in the hot path). This is the oracle-checkable scale path.
+  * `bpe_tokenize_pandas` — Arrow-batched pandas_udf twin with a per-worker
+    word→tokens memo (web text repeats words heavily, so the memo turns
+    per-word O(M·L) folding into a dict hit). Pinned equal to the native
+    fold by tests (same fold, by construction).
+
+APPLICATION SPEC (what all three paths implement): merges apply
+sequentially in training-rank order; each merge rewrites the token list in
+one left-to-right, non-overlapping greedy pass (state fold: merge the
+current token into the previous one iff (prev, cur) equals the pair). For
+merges produced by BPE *training* this is equivalent to the classic
+iterate-lowest-rank-present application: a merge's components are created
+only by strictly earlier merges, so applying a later merge can never
+enable an earlier one (new adjacencies always involve the newly created
+symbol, which earlier merges cannot reference).
+
+The DuckDB oracle twin (built in queries.py) runs the identical fold as a
+recursive CTE: each token is wrapped in its own \\x1f separators
+(`concat(\\x1f tok \\x1f per token)`), so `replace(s, Sa S + S b S, S ab S)`
+performs exactly the greedy non-overlapping pass — naive single-separator
+joining loses matches at shared separators (verified divergence on
+'aaaaa'; the wrapped encoding matches the fold on randomized corpora).
+
+Constraint: the separator \\x1f must not occur inside tokens for the SQL
+twin to be valid; `fit_bpe_merges` refuses such words, and the synthetic
+web corpora are ASCII. Char splitting is per-codepoint in both engines.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+# ---------------------------------------------------------------------------
+# serial deterministic fit (the model artifact)
+# ---------------------------------------------------------------------------
+
+
+def _merge_pass(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """One left-to-right non-overlapping greedy merge pass — THE fold every
+    engine implements."""
+    out: list[str] = []
+    for t in syms:
+        if out and out[-1] == a and t == b:
+            out[-1] = a + b
+        else:
+            out.append(t)
+    return tuple(out)
+
+
+def fit_bpe_merges(
+    word_freqs: dict[str, int], n_merges: int = 40
+) -> list[tuple[str, str]]:
+    """Deterministic BPE training over a word-frequency table.
+
+    Pair counts are over all adjacent symbol positions (weighted by word
+    frequency); the best pair is max count, ties to the lexicographically
+    smallest (a, b) — total order, so the fit is bit-stable across runs
+    and machines. Training applies each accepted merge with the same
+    `_merge_pass` fold the tokenizers use.
+    """
+    for w in word_freqs:
+        if SEP in w:
+            raise ValueError(
+                f"fit_bpe_merges: word contains the reserved separator "
+                f"U+001F: {w!r}"
+            )
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in sorted(word_freqs.items()):
+        if w:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {
+            _merge_pass(syms, best[0], best[1]): f for syms, f in vocab.items()
+        }
+    return merges
+
+
+def bpe_fit_local(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 40,
+) -> list[tuple[str, str]]:
+    """Fit merges serially from a parquet fixture (pyarrow scan — bit-
+    deterministic regardless of Spark partitioning, like
+    ivf.fit_centroids_local). The artifact is then INLINED into both the
+    Spark expression and the SQL twin; production refits at ingest and
+    broadcasts the table."""
+    import pyarrow.parquet as pq
+
+    freqs: Counter = Counter()
+    for batch in pq.ParquetFile(parquet_path).iter_batches(columns=[text_col]):
+        for text in batch.column(0).to_pylist():
+            if text:
+                freqs.update(w for w in text.split(" ") if w)
+    return fit_bpe_merges(dict(freqs), n_merges)
+
+
+def apply_bpe_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference tokenizer (the spec oracle for pytest)."""
+    syms: tuple[str, ...] = tuple(word)
+    for a, b in merges:
+        syms = _merge_pass(syms, a, b)
+    return list(syms)
+
+
+# ---------------------------------------------------------------------------
+# native Column path (JVM fold — oracle-checkable, no Python at scale)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges_literal(merges: list[tuple[str, str]]) -> Column:
+    """array<struct<a,b,ab>> literal of the fitted merges, in rank order."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(a + b).alias("ab")
+            )
+            for a, b in merges
+        ]
+    )
+
+
+def _empty_tokens() -> Column:
+    return F.expr("cast(array() as array<string>)")
+
+
+def bpe_tokens_word(word: Column, merges_col: Column) -> Column:
+    """BPE tokens of one word: outer fold over merges, inner greedy pass
+    fold over the current token list. Both folds are `F.aggregate` —
+    whole-stage-codegen'd, sequential, and order-identical to the Python
+    reference and the SQL twin."""
+    chars = F.split(word, "")
+    return F.aggregate(
+        merges_col,
+        chars,
+        lambda acc, m: F.aggregate(
+            acc,
+            _empty_tokens(),
+            lambda s, t: F.when(
+                (F.size(s) > 0)
+                & (F.element_at(s, -1) == m["a"])
+                & (t == m["b"]),
+                F.concat(
+                    F.slice(s, 1, F.size(s) - 1), F.array(m["ab"])
+                ),
+            ).otherwise(F.concat(s, F.array(t))),
+        ),
+    )
+
+
+def split_words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+
+
+def bpe_token_count(
+    text: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Total BPE token count of a document (bigint). The merges literal is
+    broadcast by value inside the expression — zero shuffle, zero Python.
+
+    At 100 TB the same fold should run over the DISTINCT-word projection
+    and join counts back (web text repeats words heavily); the direct
+    per-row expression here keeps the gate query self-contained — and the
+    pandas twin's memo is the same dedup idea executed batch-locally."""
+    mc = bpe_merges_literal(merges)
+    counts = F.transform(
+        split_words(text), lambda w: F.size(bpe_tokens_word(w, mc))
+    )
+    return F.aggregate(
+        counts, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched production twin
+# ---------------------------------------------------------------------------
+
+
+def bpe_tokenize_pandas(merges: list[tuple[str, str]]):
+    """Iterator pandas_udf: text -> array<string> of BPE tokens (words
+    tokenized independently, concatenated in order). The per-worker memo
+    caches word→tokens across batches; the fold itself is `apply_bpe_word`,
+    so equality with the native path is by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def tok(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[str]] = {}
+
+        def tokenize(text: str | None) -> list[str]:
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = apply_bpe_word(w, merges)
+                out.extend(got)
+            return out
+
+        for s in it:
+            yield pd.Series([tokenize(t) for t in s], index=s.index)
+
+    return tok

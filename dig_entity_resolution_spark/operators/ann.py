@@ -119,16 +119,20 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    n_queries = queries.limit(max_queries + 1).count()
-    if n_queries > max_queries:
+    # Guard and collect in ONE Spark job (VERDICT r3 item 7 / r4 item 1: a
+    # separate limit().count() probe spent a whole extra job): pull at most
+    # max_queries+1 rows and let the batch length itself prove the bound.
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(qpd) > max_queries:
         raise ValueError(
             f"brute_force_topk query side exceeds max_queries={max_queries}; "
             "the query matrix is driver-collected by contract. Use lsh_topk "
             "for corpus-vs-corpus search, or raise max_queries explicitly."
         )
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
     qids = qpd["qid"].to_numpy()
     qmat = np.array(qpd["qv"].tolist(), dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)

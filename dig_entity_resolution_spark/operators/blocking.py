@@ -105,6 +105,16 @@ def all_blocks(
                 kw.get("hash_fn", "xxhash64"),
             )
         )
+    if not parts:
+        # pair-producing strategies only (e.g. sorted_neighborhood, which
+        # contributes at the candidate-pair stage, not the inverted index):
+        # an empty, correctly-typed block table keeps every downstream
+        # stage (armor, checkpoint schema) working unchanged
+        return records.select(
+            F.lit("").alias("block_key"),
+            F.lit("").alias("strategy"),
+            F.col("record_id"),
+        ).filter(F.lit(False))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -201,27 +211,121 @@ def sorted_neighborhood_pairs(
     """
     out = None
     for key in key_cols:
-        kc = F.col(key)
-        bucketed = records.select(
-            F.col(id_col).alias("_id"),
-            kc.alias("_k"),
-            F.substring(kc, 1, bucket_chars).alias("_b"),
-        ).filter(F.length("_k") > 0)
-        w = Window.partitionBy("_b").orderBy("_k", "_id")
-        pairs = bucketed.select(
+        bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
+        canon = _sn_window_pairs(bucketed, window)
+        out = canon if out is None else out.unionByName(canon)
+    return out.dropDuplicates(["id1", "id2"])
+
+
+def _sn_bucketed(
+    records: DataFrame, id_col: str, key: str, bucket_chars: int
+) -> DataFrame:
+    """(_id, _k, _b) for one SN pass: sort key + its prefix bucket."""
+    kc = F.col(key)
+    return records.select(
+        F.col(id_col).alias("_id"),
+        kc.alias("_k"),
+        F.substring(kc, 1, bucket_chars).alias("_b"),
+    ).filter(F.length("_k") > 0)
+
+
+def _sn_window_pairs(bucketed: DataFrame, window: int) -> DataFrame:
+    """Canonical (id1, id2) lead-window pairs within each bucket."""
+    w = Window.partitionBy("_b").orderBy("_k", "_id")
+    pairs = (
+        bucketed.select(
             "_id",
             F.array(
                 *[F.lead("_id", j).over(w) for j in range(1, window)]
             ).alias("_nbrs"),
-        ).select("_id", F.explode("_nbrs").alias("_nbr")).filter(
-            F.col("_nbr").isNotNull()
         )
-        canon = pairs.select(
-            F.least("_id", "_nbr").alias("id1"),
-            F.greatest("_id", "_nbr").alias("id2"),
+        .select("_id", F.explode("_nbrs").alias("_nbr"))
+        .filter(F.col("_nbr").isNotNull())
+    )
+    return pairs.select(
+        F.least("_id", "_nbr").alias("id1"),
+        F.greatest("_id", "_nbr").alias("id2"),
+    )
+
+
+def sorted_neighborhood_delta_pairs(
+    records: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str = "record_id",
+    key_cols: tuple[str, ...] = ("norm_text",),
+    window: int = 4,
+    bucket_chars: int = 4,
+    old_affected: DataFrame | None = None,
+) -> DataFrame:
+    """SN pairs restricted to AFFECTED buckets — the delta-proportional
+    incremental form (r3 stretch item, wired into run_incremental in r5).
+
+    A bucket is affected when it now contains a delta record, or (pass
+    `old_affected` = the REPLACED records' old rows, latest-wins mode)
+    when a replaced record used to sort into it. Each pass semi-joins its
+    bucketed projection down to those buckets before the lead window, so
+    per-batch cost is O(affected-bucket rows), never O(corpus).
+
+    Why this is exact (append-only): inserting records never DECREASES the
+    sort-distance between two existing records, so a batch can only create
+    pairs touching a new record — all of which live in buckets containing
+    that new record. (Old pairs pushed OUT of the window stay scored;
+    candidates are never retracted, matching the pipeline's append-only
+    contract.) In latest-wins, removing a replaced record's old row CAN
+    pull two old records together, but only inside the bucket it left —
+    hence `old_affected`. Returns ALL pairs of affected buckets; the
+    caller filters to never-scored ones.
+    """
+    out = None
+    for key in key_cols:
+        bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
+        hit = bucketed.join(
+            delta_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        ).select("_b")
+        if old_affected is not None:
+            hit = hit.unionByName(
+                _sn_bucketed(old_affected, id_col, key, bucket_chars).select(
+                    "_b"
+                )
+            )
+        scoped = bucketed.join(
+            F.broadcast(hit.distinct()), "_b", "left_semi"
         )
+        canon = _sn_window_pairs(scoped, window)
         out = canon if out is None else out.unionByName(canon)
     return out.dropDuplicates(["id1", "id2"])
+
+
+def sn_affected_record_ids(
+    records: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str = "record_id",
+    key_cols: tuple[str, ...] = ("norm_text",),
+    bucket_chars: int = 4,
+    old_affected: DataFrame | None = None,
+) -> DataFrame:
+    """Record ids living in any affected bucket of any SN pass — the
+    membership set sorted_neighborhood_delta_pairs pairs over. Used to
+    restrict the already-scored table (both ends in this set) before the
+    never-scored anti-join, keeping that join delta-proportional too."""
+    out = None
+    for key in key_cols:
+        bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
+        hit = bucketed.join(
+            delta_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        ).select("_b")
+        if old_affected is not None:
+            hit = hit.unionByName(
+                _sn_bucketed(old_affected, id_col, key, bucket_chars).select(
+                    "_b"
+                )
+            )
+        ids = (
+            bucketed.join(F.broadcast(hit.distinct()), "_b", "left_semi")
+            .select(F.col("_id").alias(id_col))
+        )
+        out = ids if out is None else out.unionByName(ids)
+    return out.dropDuplicates([id_col])
 
 
 def exclude_pairs(cand: DataFrame, done: DataFrame) -> DataFrame:

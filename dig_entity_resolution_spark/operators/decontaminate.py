@@ -18,7 +18,7 @@ cost shows up — the semantics don't change.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,11 +52,20 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     min_hits: int = 1,
+    assume_unique_ids: bool = True,
 ) -> DataFrame:
     """(id, n_overlap, contaminated) for EVERY corpus doc: n_overlap is
     the number of distinct length-`n` windows the doc shares with the
     holdout set; contaminated = n_overlap >= min_hits. Filter the corpus
-    on ~contaminated to get the train-safe subset."""
+    on ~contaminated to get the train-safe subset.
+
+    PRECONDITION (ADVICE r4): `id_col` must be unique in `corpus` — a
+    duplicated id fans out in the final left join (duplicated output rows)
+    and double-counts its grams in n_overlap. The default trusts the
+    caller (the id projection stays shuffle-free, the 100 TB shape); pass
+    assume_unique_ids=False to pay one dropDuplicates shuffle on the id
+    projection and get exactly one output row per id (n_overlap then sums
+    over all copies of that id)."""
     hk = F.broadcast(
         _gram_keys(holdout, id_col, text_col, n).select("gkey").distinct()
     )
@@ -66,12 +75,65 @@ def decontaminate(
         .groupBy("_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
+    ids = corpus.select(F.col(id_col))
+    if not assume_unique_ids:
+        ids = ids.dropDuplicates([id_col])
     return (
-        corpus.select(F.col(id_col))
-        .join(hits.withColumnRenamed("_doc", id_col), id_col, "left")
+        ids.join(hits.withColumnRenamed("_doc", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_provenance(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Audit trail for flagged docs (VERDICT r4 stretch #8): for every
+    contaminated corpus doc, WHICH holdout doc contaminates it most.
+
+    Emits (id, top_holdout_id, n_shared_top, n_holdout_docs): the holdout
+    doc sharing the most distinct length-`n` windows with this corpus doc
+    (ties → smallest holdout id), that count, and how many distinct
+    holdout docs share at least one window. Contaminated docs only —
+    filter-side audit, not the full report (`decontaminate` is that).
+
+    Scale shape: identical to `decontaminate` — the holdout (gkey,
+    holdout_id) pairs are BROADCAST (eval sets are tiny), the corpus gram
+    stream joins map-side, and only the rare hit pairs reach the
+    per-(corpus_doc, holdout_doc) aggregation and the per-doc argmax
+    window (partitioned by corpus doc over hit rows only — never the
+    corpus). Same unique-id precondition as `decontaminate`.
+    """
+    hk = F.broadcast(
+        _gram_keys(holdout, id_col, text_col, n).withColumnRenamed(
+            "_doc", "h_doc"
+        )
+    )
+    pair = (
+        _gram_keys(corpus, id_col, text_col, n)
+        .join(hk, "gkey")
+        .groupBy("_doc", "h_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    w = Window.partitionBy("_doc")
+    wo = w.orderBy(F.col("n_shared").desc(), F.col("h_doc").asc())
+    return (
+        pair.withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "n_holdout_docs", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("h_doc").alias("top_holdout_id"),
+            F.col("n_shared").alias("n_shared_top"),
+            "n_holdout_docs",
         )
     )

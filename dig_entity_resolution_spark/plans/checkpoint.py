@@ -59,6 +59,40 @@ def _local_file_size(uri: str) -> int | None:
         return None
 
 
+def _local_path(uri: str) -> str | None:
+    """Decoded local filesystem path for a file:// (or bare-path) URI; None
+    for remote schemes. Shares the URI rules of `_local_file_size` so the
+    write-time stamp and the probe-time directory listing compare the same
+    canonical form."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        if parsed.netloc not in ("", "localhost"):
+            return None
+        return unquote(parsed.path)
+    if "://" in uri:
+        return None
+    return uri
+
+
+def _list_data_files(table_path: str) -> list[str] | None:
+    """All data files under a local table directory (recursive — partitioned
+    writes nest `key=value/` dirs), excluding writer markers (`_SUCCESS`,
+    `_started_*`, `.crc`, dotfiles). None when the path is not a local
+    directory (remote scheme or missing)."""
+    root = _local_path(table_path)
+    if root is None or not os.path.isdir(root):
+        return None
+    out: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            if name.startswith(("_", ".")):
+                continue
+            out.append(os.path.join(dirpath, name))
+    return sorted(out)
+
+
 class ParquetCheckpoint:
     def __init__(self, spark: SparkSession, root: str, run_id: str):
         self.spark = spark
@@ -95,18 +129,33 @@ class ParquetCheckpoint:
             key=lambda r: r["file"],
         )
         total = sum(r["rows_out"] for r in counts)
+        # ADVICE r4: input_file_name() only surfaces files that produced
+        # ROWS — a zero-row part file written by an empty task never appears,
+        # so its later deletion/truncation (or a foreign file injected into
+        # the directory) was invisible to is_complete. Merge the row counts
+        # with the on-disk directory listing so every data file is stamped
+        # (rows_out = 0 for row-less files), keyed by the DECODED local path
+        # so both sources agree on one canonical form.
+        rows_by_path = {
+            (_local_path(r["file"]) or r["file"]): r["rows_out"] for r in counts
+        }
+        disk_files = _list_data_files(path)
+        if disk_files is not None:
+            stamped = sorted(set(disk_files) | set(rows_by_path))
+        else:  # remote scheme: fall back to the row-bearing files only
+            stamped = sorted(rows_by_path)
         lineage = self.spark.createDataFrame(
             [
                 (
                     stage,
                     self.run_id,
                     pid,
-                    r["file"],
-                    r["rows_out"],
+                    f,
+                    rows_by_path.get(f, 0),
                     total,
-                    _local_file_size(r["file"]),
+                    _local_file_size(f),
                 )
-                for pid, r in enumerate(counts)
+                for pid, f in enumerate(stamped)
             ],
             "stage string, run_id string, partition_id int, file string, "
             "rows_out long, total_rows long, bytes long",
@@ -152,11 +201,21 @@ class ParquetCheckpoint:
         # lineage) cannot. O(#files) stat calls; skipped per-file when the
         # size was unknowable at write time (remote scheme → bytes NULL).
         if "file" in meta_df.columns and "bytes" in meta_df.columns:
+            stamped_paths = set()
             for f in meta_df.select("file", "bytes").collect():
+                stamped_paths.add(_local_path(f["file"]) or f["file"])
                 if f["bytes"] is None:
                     continue
                 if _local_file_size(f["file"]) != f["bytes"]:
                     return False
+            # ADVICE r4: also compare the stamped file SET against the live
+            # directory listing — a foreign parquet file injected after the
+            # write would otherwise be read by read() yet pass every
+            # per-stamped-file check. (Older lineage stamped URI-form paths;
+            # both sides compare decoded local paths.)
+            disk_files = _list_data_files(path)
+            if disk_files is not None and set(disk_files) - stamped_paths:
+                return False
         return True
 
     def read(self, stage: str) -> DataFrame:

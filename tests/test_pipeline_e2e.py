@@ -504,3 +504,86 @@ def test_repeated_substring_preclean_destroys_er_signal(spark, tmp_path):
     f1 = pre.evaluate(pre.run(repaired), labels).collect()[0].f1
     # ...and resolution collapses: the dedup removed the match signal
     assert f1 < 0.2
+
+
+# -- sorted-neighborhood as a pipeline strategy (r5, VERDICT r4 item 5) ------
+
+#: fixture-scale SN config: 1-char buckets (tiny corpus — see the
+#: bucket-sizing note in sorted_neighborhood_pairs), forward + reversed
+#: passes so a head-of-string perturbation still sorts adjacent
+_SN_ONLY = dict(
+    strategies=("sorted_neighborhood",), sn_window=4, sn_bucket_chars=1
+)
+
+
+def test_sn_only_e2e_f1(spark, corpus, tmp_path):
+    """SN as the ONLY blocking strategy must still resolve the planted
+    clusters perfectly: every cluster member is sort-adjacent to another
+    member in at least one pass (forward anchors, reversed suffixes), and
+    connected components closes the rest transitively."""
+    pages = spark.read.parquet(corpus["pages"])
+    pipe = ERPipeline(spark, str(tmp_path / "whsn"), "sn", ERConfig(**_SN_ONLY))
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(corpus["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+    assert clusters.count() == pages.count()
+
+
+def test_sn_incremental_equals_batch(spark, corpus, tmp_path):
+    """Append-only incremental with SN enabled equals the from-scratch
+    batch run over the union — the delta form pairs only affected
+    buckets, which is exact because insertions never shrink the sort
+    distance between existing records."""
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "whsni")
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    batch_a, batch_b = pages.filter(split), pages.filter(~split)
+
+    cfg = ERConfig(**_SN_ONLY)
+    full = ERPipeline(spark, wh, "full", cfg)
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in full.run(pages).collect()
+    )
+    base = ERPipeline(spark, wh, "base", cfg)
+    base.run(batch_a)
+    incr = ERPipeline(spark, wh, "incr", cfg)
+    got = incr.run_incremental(batch_b, base_run_id="base")
+    assert sorted((r.record_id, r.cluster_id) for r in got.collect()) == expect
+    # delta-proportional: the batch scored strictly fewer pairs than full
+    assert (
+        incr.ckpt.read("cand_pairs").count()
+        < full.ckpt.read("cand_pairs").count()
+    )
+    labels = spark.read.parquet(corpus["labels"])
+    assert incr.evaluate(got, labels).collect()[0].f1 >= 0.99
+
+
+def test_sn_latest_wins_recrawl_equals_batch(spark, corpus, tmp_path):
+    """latest_wins with SN: replacing a record moves its sort position,
+    which can pull two OLD records into each other's window — the
+    old-bucket recompute + restricted anti-join must recover exactly the
+    from-scratch result."""
+    pages = spark.read.parquet(corpus["pages"])
+    labels = spark.read.parquet(corpus["labels"])
+    wh = str(tmp_path / "whsnlw")
+    cfg = ERConfig(**_SN_ONLY)
+
+    victim = labels.filter(F.col("label")).select("url1").orderBy("url1").first().url1
+    recrawl = (
+        pages.filter(F.col("url") == victim)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn(
+            "text", F.lit("xqzzyk unique replacement snapshot content tokens")
+        )
+    )
+    full = ERPipeline(spark, wh, "full", cfg)
+    expect = sorted(
+        (r.record_id, r.cluster_id)
+        for r in full.run(pages.unionByName(recrawl)).collect()
+    )
+    base = ERPipeline(spark, wh, "base", cfg)
+    base.run(pages)
+    incr = ERPipeline(spark, wh, "incr", cfg)
+    got_df = incr.run_incremental(recrawl, base_run_id="base", mode="latest_wins")
+    assert sorted((r.record_id, r.cluster_id) for r in got_df.collect()) == expect
