@@ -29,12 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FAST = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
-# 80k docs → ~1.5M candidate pairs: big enough that kernel compute dominates
-# the fixed JVM/worker-ramp costs the scaling comparison must amortize
-CORPUS_N_CLUSTERS = 10000
-CORPUS_SINGLETONS = 40000
+# 140k docs → ~3.8M candidate pairs (r5, VERDICT r4 item 1: a larger
+# workload amortizes fixed stage overhead out of the scaling ratio — the
+# r4 2.18M-pair runs spent ~10% of the 32-core wall on ramp)
+CORPUS_N_CLUSTERS = 17500
+CORPUS_SINGLETONS = 70000
 CORPUS_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".data", "bench_corpus_80k"
+    os.path.dirname(os.path.abspath(__file__)), ".data", "bench_corpus_140k"
 )
 
 BENCH_QUERIES = [
@@ -62,6 +63,12 @@ BENCH_QUERIES = [
     "tpch_q1_agg",
     "events_sessionize",
     "quality_scores",
+    # r5 additions
+    "token_counts_bpe",
+    "quality_classifier",
+    "near_dup_corpus",
+    "decontamination_provenance",
+    "sequence_packing",
 ]
 
 
@@ -234,7 +241,7 @@ def main() -> None:
     corpus = _ensure_corpus()
     # _v2: full (unsampled) pair set + pinned measurements — regenerated
     # when the r1-era sampled table is what's on disk
-    hydrated = os.path.join(os.path.dirname(CORPUS_DIR), "bench_hydrated_80k_v2")
+    hydrated = os.path.join(os.path.dirname(CORPUS_DIR), "bench_hydrated_140k_v1")
     if not os.path.exists(os.path.join(hydrated, "_SUCCESS")):
         _scale_worker("prep", corpus, hydrated)
     er: dict = {}

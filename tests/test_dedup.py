@@ -274,3 +274,98 @@ def test_repeated_substring_extreme_boilerplate(spark):
     removed = [i for i in range(1, 80) if out[i].n_removed_tokens > 0]
     assert len(removed) == 79                    # every later occurrence cut
     assert all(not out[i].cleaned_text.endswith("day") for i in removed)
+
+
+def test_near_dup_corpus_production(spark):
+    """r5 (VERDICT r4 item 4): the production end product emits the KEPT
+    corpus — planted dup groups collapse to their min-id survivor with
+    n_merged lineage, pass-through columns survive unchanged, and clean
+    docs flow through as singletons."""
+    from dig_entity_resolution_spark.operators.dedup import (
+        near_dup_corpus,
+        release_caches,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different story about catalyst planning and tungsten code"
+    rows = [
+        (10, base, "en"),
+        (11, base + " extra", "en"),      # near-copy of 10
+        (12, "x " + base, "de"),          # near-copy → same cluster
+        (20, other, "en"),
+        (21, other + " yes", "fr"),       # second planted group
+        (30, "a lone unrelated document mentioning broadcast joins and shuffles", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = near_dup_corpus(
+        d, "doc_id", "text", jaccard_threshold=0.5, hash_fn="xxhash64",
+        num_perm=16, bands=8,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    release_caches()
+    # one survivor per planted group, min id, with the merge count
+    assert set(got) == {10, 20, 30}
+    assert got[10].n_merged == 3 and got[10].dup_cluster_id == 10
+    assert got[20].n_merged == 2 and got[20].dup_cluster_id == 20
+    assert got[30].n_merged == 1 and got[30].dup_cluster_id == 30
+    # pass-through columns intact
+    assert got[10].lang == "en" and got[10].text == base
+    assert out.columns == ["doc_id", "text", "lang", "dup_cluster_id", "n_merged"]
+
+
+def test_repeated_substring_null_text_raises(spark):
+    """ADVICE r4: a NULL text must fail loudly, not flow through as NULL
+    n_tokens/cleaned_text into a training pipeline."""
+    import pytest as _pytest
+
+    from dig_entity_resolution_spark.operators.dedup import (
+        repeated_substring_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "some text here ok fine words again more tokens"), (2, None)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="NULL text"):
+        repeated_substring_dedup(d, "doc_id", "text", min_len=4).collect()
+
+
+def test_decontaminate_provenance_and_duplicate_ids(spark):
+    """r5: provenance reports the TOP contaminating holdout doc (ties →
+    smallest id) for contaminated docs only; and the documented
+    duplicate-id escape hatch collapses fanned-out rows."""
+    from dig_entity_resolution_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_provenance,
+    )
+
+    leak1 = "alpha beta gamma delta epsilon zeta eta theta"
+    leak2 = "one two three four five six seven eight nine ten"
+    holdout = spark.createDataFrame(
+        [(100, "question " + leak1), (101, "exercise " + leak2 + " end")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 1 window with 100, 3 with 101 → top = 101
+            (1, leak1 + " filler " + leak2),
+            (2, "clean training document with no overlap at all whatsoever ok"),
+            (3, "contains " + leak1 + " only"),  # top = 100
+        ],
+        "doc_id long, text string",
+    )
+    prov = {
+        r.doc_id: r
+        for r in decontaminate_provenance(corpus, holdout, n=8).collect()
+    }
+    assert set(prov) == {1, 3}  # contaminated docs only
+    assert prov[1].top_holdout_id == 101 and prov[1].n_shared_top == 3
+    assert prov[1].n_holdout_docs == 2
+    assert prov[3].top_holdout_id == 100 and prov[3].n_holdout_docs == 1
+
+    dup_corpus = corpus.unionByName(corpus.filter(F.col("doc_id") == 1))
+    fanned = decontaminate(dup_corpus, holdout, n=8)
+    assert fanned.filter(F.col("doc_id") == 1).count() == 2  # documented fan-out
+    deduped = decontaminate(dup_corpus, holdout, n=8, assume_unique_ids=False)
+    assert deduped.filter(F.col("doc_id") == 1).count() == 1
+    assert deduped.count() == 3

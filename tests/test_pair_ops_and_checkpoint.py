@@ -214,3 +214,61 @@ def test_checkpoint_integrity_covers_url_encoded_paths(spark, tmp_path):
     rows = lin.select("file", "bytes").collect()
     assert rows and all(r["bytes"] is not None and r["bytes"] > 0 for r in rows)
     assert ck.is_complete("stage_a")
+
+
+def test_checkpoint_covers_zero_row_part_files(spark, tmp_path):
+    """ADVICE r4: input_file_name() lineage only sees files that produced
+    rows, so a ZERO-ROW part file (Spark writes them for empty tasks) was
+    invisible — truncating it passed is_complete. The directory-listing
+    stamp must cover it."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "zr")
+    # 2 rows spread over 4 partitions → at least one zero-row part file
+    df = spark.range(2).withColumnRenamed("id", "record_id").repartition(4)
+    ck.write("stage_z", df)
+    assert ck.is_complete("stage_z")
+    files = sorted(
+        glob.glob(os.path.join(ck.table_path("stage_z"), "part-*.parquet"))
+    )
+    empty = [f for f in files if os.path.getsize(f) < 600]  # footer-only
+    assert empty, "fixture must produce a zero-row part file"
+    # every on-disk data file is stamped in lineage (rows_out 0 for empties)
+    stamped = {r["file"] for r in ck.lineage("stage_z").collect()}
+    assert set(files) <= stamped
+    zero_rows = ck.lineage("stage_z").filter(F.col("rows_out") == 0).count()
+    assert zero_rows >= 1
+    with open(empty[0], "r+b") as f:
+        f.truncate(os.path.getsize(empty[0]) - 3)
+    assert not ck.is_complete("stage_z")
+    os.remove(empty[0])
+    assert not ck.is_complete("stage_z")
+
+
+def test_checkpoint_detects_foreign_file_injection(spark, tmp_path):
+    """ADVICE r4: a parquet file INJECTED into the stage directory after
+    the write is read by read() but was absent from lineage — is_complete
+    must compare the stamped file set against the live listing."""
+    import os
+    import shutil
+
+    ck = ParquetCheckpoint(spark, str(tmp_path), "fi")
+    df = spark.range(50).withColumnRenamed("id", "record_id").repartition(2)
+    ck.write("stage_f", df)
+    assert ck.is_complete("stage_f")
+    # inject a copy of a legitimate part file under a new name
+    table = ck.table_path("stage_f")
+    part = next(
+        f for f in sorted(os.listdir(table)) if f.startswith("part-")
+    )
+    shutil.copy(
+        os.path.join(table, part),
+        os.path.join(table, "part-99999-injected-c000.snappy.parquet"),
+    )
+    assert not ck.is_complete("stage_f")
+    # removing the foreign file restores completeness (stamped set intact)
+    os.remove(os.path.join(table, "part-99999-injected-c000.snappy.parquet"))
+    assert ck.is_complete("stage_f")

@@ -1,0 +1,77 @@
+"""Model-based quality classifier (r5, VERDICT r4 gap #2): deterministic
+fit, cross-path score equality, and the discrimination (AUC) bound on a
+held-out planted corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.functions.quality_model import (
+    fit_quality_model,
+    quality_logit_micro,
+    score_logit_micro_py,
+    synth_quality_corpus,
+)
+
+
+def test_fit_deterministic():
+    w1, b1 = fit_quality_model()
+    w2, b2 = fit_quality_model()
+    assert w1 == w2 and b1 == b2
+    assert any(w != 0 for w in w1)
+
+
+def test_auc_on_held_out_corpus():
+    """Weights fit on seed 11 must separate a DIFFERENT generated corpus
+    (seed 23) — the model learned the prose/boilerplate distinction, not
+    the training rows."""
+    weights, bias = fit_quality_model()
+    held_out = synth_quality_corpus(n_per_class=150, seed=23)
+    scored = sorted(
+        (score_logit_micro_py(t, weights, bias), label) for t, label in held_out
+    )
+    pos = sum(1 for _, l in held_out if l == 1)
+    neg = len(held_out) - pos
+    # AUC by rank-sum
+    rank_sum = sum(
+        i + 1 for i, (_, label) in enumerate(scored) if label == 1
+    )
+    auc = (rank_sum - pos * (pos + 1) / 2) / (pos * neg)
+    assert auc >= 0.99, auc
+    # and the 0-logit threshold itself classifies well (not just ranking)
+    acc = sum(
+        1 for s, label in ((score_logit_micro_py(t, weights, bias), l) for t, l in held_out)
+        if (s > 0) == (label == 1)
+    ) / len(held_out)
+    assert acc >= 0.95, acc
+
+
+def test_spark_native_matches_python(spark):
+    weights, bias = fit_quality_model()
+    texts = [t for t, _ in synth_quality_corpus(n_per_class=20, seed=99)]
+    texts += ["", "single", "two words", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text", quality_logit_micro("text", weights, bias).alias("logit")
+    ).collect()
+    for r in rows:
+        if r["text"] is None:
+            assert r["logit"] == bias  # NULL text scores the bias alone
+        else:
+            assert r["logit"] == score_logit_micro_py(r["text"], weights, bias)
+
+
+def test_no_shuffle_in_plan(spark):
+    """The scorer is a pure per-row expression — an Exchange in its plan
+    would mean the weights were joined instead of inlined."""
+    weights, bias = fit_quality_model()
+    df = spark.range(10).select(
+        F.concat_ws(" ", F.lit("the"), F.lit("market"), F.col("id").cast("string")).alias("text")
+    )
+    plan = (
+        df.select(quality_logit_micro("text", weights, bias).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

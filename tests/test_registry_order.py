@@ -24,4 +24,28 @@ def test_rows_only_queries_register_last():
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"oracle-backed {n} after a rows-only entry"
-    assert sum(Q._REGISTRY[n][1] is not None for n in names) >= 50
+    # ADVICE r4: pin the EXACT gate-prefix composition, not just >=50 — a
+    # future oracle-backed query registered after a rows-only entry (or a
+    # covered-set edit) must fail here, not silently drop out of the gate.
+    oracle_backed = [n for n in names if Q._REGISTRY[n][1] is not None]
+    standalone = [n for n in oracle_backed if n not in Q._INGREDIENT_QUERIES]
+    assert len(standalone) == 50, (
+        f"gate prefix must be exactly the 50 standalone oracle-backed "
+        f"queries, got {len(standalone)}"
+    )
+    assert len(oracle_backed) == 56
+    assert len(names) == 63
+    # every standalone entry sits inside the suspected 50-row gate window
+    assert names[:50] == standalone
+    # and every covered entry's consumer is itself gated
+    consumers = {
+        "char_shingles": "normalize_tokenize",  # shingle CTE chain root
+        "minhash_signatures": "near_dup_clusters",
+        "lsh_band_buckets": "near_dup_clusters",
+        "minhash_lsh_dup_pairs": "near_dup_clusters",
+        "simhash_fingerprints": "simhash_hamming_pairs",
+        "embedding_pq_topk": "embedding_ivfadc_topk",
+    }
+    assert set(consumers) == set(Q._INGREDIENT_QUERIES)
+    for covered, consumer in consumers.items():
+        assert consumer in names[:50], (covered, consumer)

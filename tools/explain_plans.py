@@ -113,6 +113,34 @@ CHECKS = {
         "must": ["Window", "BroadcastHashJoin"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "token_counts_bpe": {
+        # nested-aggregate BPE fold: pure per-row JVM expression — no
+        # Python, no shuffle, merges ride the expression as a literal
+        "must": ["Project"],
+        "must_not": [
+            "CartesianProduct", "Exchange", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
+    "quality_classifier": {
+        # hashed-ngram linear scorer: weights inlined as a literal array —
+        # per-row expression only, no weight-table join, no Python
+        "must": ["Project"],
+        "must_not": [
+            "CartesianProduct", "Exchange", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
+    "decontamination_provenance": {
+        # same broadcast-holdout shape as decontamination: the corpus gram
+        # stream must never shuffle on the gram key
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "near_dup_corpus": {
+        # production end product: hot buckets suppressed via broadcast
+        # anti-join; drop-set and canon-info joins broadcast; no all-pairs
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "stratified_sample": {
         # pure function of (salt, id): ONE codegen'd filter directly over
         # the scan (the projection prunes into the scan) — no shuffle, no
