@@ -478,9 +478,12 @@ def near_dup_corpus(
     (md5, caps off, so DuckDB can bit-match the whole chain); the
     algorithmic correctness is established there and in the planted-corpus
     e2e test — this configuration is what a 100 TB run executes. The drop
-    set (non-canonical members) is a small fraction of the corpus under
-    realistic dup rates, so the final filter is a broadcast-friendly
-    left_anti join; the corpus itself is never shuffled by it.
+    set and canon-info joins deliberately carry NO broadcast hint: web
+    dedup legitimately drops 30-50% of a corpus, so the drop side can be
+    billions of rows — AQE picks broadcast when the measured size allows
+    and falls back to a shuffled join when it doesn't (a forced broadcast
+    here would be a driver OOM at exactly the dup rates the operator is
+    for).
     """
     from .cluster import connected_components
 
@@ -503,11 +506,9 @@ def near_dup_corpus(
         F.count(F.lit(1)).cast("long").alias("n_merged")
     )
     drop_ids = assign.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
-    survivors = docs.join(F.broadcast(drop_ids), id_col, "left_anti")
-    canon_info = F.broadcast(
-        assign.filter(F.col("cluster_id") == F.col(id_col)).join(
-            sizes, "cluster_id"
-        )
+    survivors = docs.join(drop_ids, id_col, "left_anti")
+    canon_info = assign.filter(F.col("cluster_id") == F.col(id_col)).join(
+        sizes, "cluster_id"
     )
     return survivors.join(canon_info, id_col, "left").select(
         *[F.col(c) for c in docs.columns],

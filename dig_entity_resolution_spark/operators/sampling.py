@@ -74,3 +74,33 @@ def train_val_split(
     return df.withColumn(
         "split", F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
     )
+
+
+def quality_stratified_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_rate_good: float = 1.0,
+    keep_rate_bad: float = 0.1,
+    salt: str = "q0",
+) -> DataFrame:
+    """Model-scored quality curation (r5 — wires the hashed-ngram linear
+    classifier into the sampling keep_rate, VERDICT r4 item 3): docs the
+    classifier labels prose-like keep at `keep_rate_good`, boilerplate-like
+    at `keep_rate_bad`. The classifier logit is a pure per-row expression
+    (weights inlined — functions/quality_model.py) and the sampler is the
+    same md5-bucket pure function as stratified_sample: no shuffle, no RNG
+    state, resume-safe, identical decisions on re-run."""
+    from ..functions.quality_model import fit_quality_model, quality_logit_micro
+
+    weights, bias = fit_quality_model()
+    band = F.when(
+        quality_logit_micro(text_col, weights, bias) > 0, F.lit("good")
+    ).otherwise(F.lit("bad"))
+    return stratified_sample(
+        docs.withColumn("_qband", band),
+        id_col,
+        "_qband",
+        {"good": keep_rate_good, "bad": keep_rate_bad},
+        salt=salt,
+    ).drop("_qband")

@@ -75,3 +75,34 @@ def test_no_shuffle_in_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quality_stratified_sample(spark):
+    """The classifier drives the sampler's keep_rate: prose docs survive at
+    ~keep_rate_good, boilerplate at ~keep_rate_bad, deterministically."""
+    from dig_entity_resolution_spark.operators.sampling import (
+        quality_stratified_sample,
+    )
+
+    corpus = synth_quality_corpus(n_per_class=120, seed=31)
+    df = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(corpus)],
+        "doc_id long, text string, label long",
+    )
+    kept = quality_stratified_sample(
+        df, keep_rate_good=1.0, keep_rate_bad=0.1
+    )
+    kept_rows = kept.collect()
+    n_good_in = df.filter(F.col("label") == 1).count()
+    n_good_kept = sum(1 for r in kept_rows if r.label == 1)
+    n_bad_kept = sum(1 for r in kept_rows if r.label == 0)
+    # classifier accuracy ≥95% on this corpus → nearly all prose kept
+    assert n_good_kept >= int(0.95 * n_good_in)
+    # boilerplate decimated (md5 buckets: expect ~12, allow slack)
+    assert n_bad_kept <= 0.25 * 120
+    # deterministic: same decisions on re-run
+    again = quality_stratified_sample(df, keep_rate_good=1.0, keep_rate_bad=0.1)
+    assert sorted(r.doc_id for r in kept_rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    assert kept.columns == ["doc_id", "text", "label"]
