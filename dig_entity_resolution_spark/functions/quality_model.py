@@ -113,9 +113,12 @@ def fit_quality_model(
         for g in _grams(text):
             X[i, _bucket(g, dim)] += 1.0
         y[i] = label
-    # scale features per-doc so long docs don't dominate the gradient; the
-    # SCORER uses raw counts, which only rescales each doc's logit by a
-    # positive factor — the sign (the label) is unchanged
+    # scale features per-doc so long docs don't dominate the gradient: the
+    # trained decision is bias + w·x/L > 0. The scorers emit the
+    # EQUIVALENT integer form L·bias + w·x (L = max(#grams,1) > 0, so the
+    # sign — the label — is identical), keeping the emitted logit exact
+    # int64 arithmetic with no division (r5 review: the earlier raw-count
+    # scorer bias + w·x flips sign vs the trained boundary on long docs)
     X /= np.maximum(X.sum(axis=1, keepdims=True), 1.0)
     w = np.zeros(dim)
     b = 0.0
@@ -128,12 +131,24 @@ def fit_quality_model(
     return [int(round(v * MICRO)) for v in w], int(round(b * MICRO))
 
 
+def quality_model_cached() -> tuple[list[int], int]:
+    """The fitted default artifact, computed once per process (the fit is
+    deterministic, so caching is purely an efficiency concern — r5 review:
+    per-call refits cost ~100s of ms of driver time in sampler loops)."""
+    if not hasattr(quality_model_cached, "_cache"):
+        quality_model_cached._cache = fit_quality_model()
+    return quality_model_cached._cache
+
+
 def score_logit_micro_py(
     text: str, weights_micro: list[int], bias_micro: int, dim: int = DIM
 ) -> int:
-    """Pure-Python twin of the Spark/DuckDB scorers (pytest oracle)."""
-    return bias_micro + sum(
-        weights_micro[_bucket(g, dim)] for g in _grams(text)
+    """Pure-Python twin of the Spark/DuckDB scorers (pytest oracle).
+    Emits L·bias + w·x (L = max(#grams, 1)) — sign-identical to the
+    trained normalized decision bias + w·x/L, in exact int64."""
+    grams = _grams(text)
+    return max(len(grams), 1) * bias_micro + sum(
+        weights_micro[_bucket(g, dim)] for g in grams
     )
 
 
@@ -143,7 +158,9 @@ def score_logit_micro_py(
 def quality_logit_micro(
     text: Column | str, weights_micro: list[int], bias_micro: int, dim: int = DIM
 ) -> Column:
-    """Integer logit (micro-units) of the linear model — JVM-only."""
+    """Integer logit (micro-units) of the linear model — JVM-only.
+    L·bias + Σ w[bucket(gram)] with L = max(#grams, 1): sign-identical to
+    the trained per-length-normalized decision, exact in int64."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
     n = F.size(toks)
@@ -161,11 +178,14 @@ def quality_logit_micro(
         "array(" + ",".join(f"{w}L" for w in weights_micro) + ")"
     )
     buckets = F.transform(grams, lambda g: md5_long(g) % dim)
-    return F.coalesce(
+    scale = F.greatest(
+        F.coalesce(F.size(grams), F.lit(0)), F.lit(1)
+    ).cast("long")
+    return scale * F.lit(int(bias_micro)).cast("long") + F.coalesce(
         F.aggregate(
             buckets,
-            F.lit(int(bias_micro)).cast("long"),
+            F.lit(0).cast("long"),
             lambda a, bkt: a + F.element_at(wlit, bkt.cast("int") + 1),
         ),
-        F.lit(int(bias_micro)).cast("long"),
+        F.lit(0).cast("long"),
     )

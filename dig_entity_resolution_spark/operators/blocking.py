@@ -248,7 +248,32 @@ def _sn_window_pairs(bucketed: DataFrame, window: int) -> DataFrame:
     )
 
 
-def sorted_neighborhood_delta_pairs(
+def _sn_scoped_bucketed(
+    records: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str,
+    key: str,
+    bucket_chars: int,
+    old_affected: DataFrame | None,
+) -> DataFrame:
+    """One pass's bucketed projection restricted to AFFECTED buckets: those
+    now containing a delta record, plus (latest-wins) those a replaced
+    record's OLD row used to sort into. The affected-bucket KEY set is a
+    handful of short prefixes — broadcasting it is safe by construction
+    (unlike the bucket MEMBERSHIP, which is bounded by bucket size, not
+    delta size — see sorted_neighborhood_delta)."""
+    bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
+    hit = bucketed.join(
+        delta_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    ).select("_b")
+    if old_affected is not None:
+        hit = hit.unionByName(
+            _sn_bucketed(old_affected, id_col, key, bucket_chars).select("_b")
+        )
+    return bucketed.join(F.broadcast(hit.distinct()), "_b", "left_semi")
+
+
+def sorted_neighborhood_delta(
     records: DataFrame,
     delta_ids: DataFrame,
     id_col: str = "record_id",
@@ -256,9 +281,11 @@ def sorted_neighborhood_delta_pairs(
     window: int = 4,
     bucket_chars: int = 4,
     old_affected: DataFrame | None = None,
-) -> DataFrame:
-    """SN pairs restricted to AFFECTED buckets — the delta-proportional
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, member_ids) of the AFFECTED buckets — the delta-proportional
     incremental form (r3 stretch item, wired into run_incremental in r5).
+    One scoped derivation per pass feeds BOTH outputs (r5 review: the
+    previous pairs/ids twin functions duplicated the scoping joins).
 
     A bucket is affected when it now contains a delta record, or (pass
     `old_affected` = the REPLACED records' old rows, latest-wins mode)
@@ -274,58 +301,43 @@ def sorted_neighborhood_delta_pairs(
     contract.) In latest-wins, removing a replaced record's old row CAN
     pull two old records together, but only inside the bucket it left —
     hence `old_affected`. Returns ALL pairs of affected buckets; the
-    caller filters to never-scored ones.
+    caller filters to never-scored ones. `member_ids` is every record id
+    living in an affected bucket — the membership set the caller uses to
+    restrict the scored table before its anti-join. NOTE: membership is
+    bounded by affected-bucket SIZE, not delta size (a hot prefix can hold
+    a large corpus fraction), so downstream joins on it must not be
+    force-broadcast.
     """
-    out = None
+    pairs_out = None
+    ids_out = None
     for key in key_cols:
-        bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
-        hit = bucketed.join(
-            delta_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
-        ).select("_b")
-        if old_affected is not None:
-            hit = hit.unionByName(
-                _sn_bucketed(old_affected, id_col, key, bucket_chars).select(
-                    "_b"
-                )
-            )
-        scoped = bucketed.join(
-            F.broadcast(hit.distinct()), "_b", "left_semi"
+        scoped = _sn_scoped_bucketed(
+            records, delta_ids, id_col, key, bucket_chars, old_affected
         )
         canon = _sn_window_pairs(scoped, window)
-        out = canon if out is None else out.unionByName(canon)
-    return out.dropDuplicates(["id1", "id2"])
+        ids = scoped.select(F.col("_id").alias(id_col))
+        pairs_out = canon if pairs_out is None else pairs_out.unionByName(canon)
+        ids_out = ids if ids_out is None else ids_out.unionByName(ids)
+    return (
+        pairs_out.dropDuplicates(["id1", "id2"]),
+        ids_out.dropDuplicates([id_col]),
+    )
 
 
-def sn_affected_record_ids(
+def sorted_neighborhood_delta_pairs(
     records: DataFrame,
     delta_ids: DataFrame,
     id_col: str = "record_id",
     key_cols: tuple[str, ...] = ("norm_text",),
+    window: int = 4,
     bucket_chars: int = 4,
     old_affected: DataFrame | None = None,
 ) -> DataFrame:
-    """Record ids living in any affected bucket of any SN pass — the
-    membership set sorted_neighborhood_delta_pairs pairs over. Used to
-    restrict the already-scored table (both ends in this set) before the
-    never-scored anti-join, keeping that join delta-proportional too."""
-    out = None
-    for key in key_cols:
-        bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
-        hit = bucketed.join(
-            delta_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
-        ).select("_b")
-        if old_affected is not None:
-            hit = hit.unionByName(
-                _sn_bucketed(old_affected, id_col, key, bucket_chars).select(
-                    "_b"
-                )
-            )
-        ids = (
-            bucketed.join(F.broadcast(hit.distinct()), "_b", "left_semi")
-            .select(F.col("_id").alias(id_col))
-        )
-        out = ids if out is None else out.unionByName(ids)
-    return out.dropDuplicates([id_col])
+    """Pairs half of sorted_neighborhood_delta (kept as the simple entry
+    point for append-only callers, which never need the membership)."""
+    return sorted_neighborhood_delta(
+        records, delta_ids, id_col, key_cols, window, bucket_chars, old_affected
+    )[0]
 
 
 def exclude_pairs(cand: DataFrame, done: DataFrame) -> DataFrame:

@@ -94,6 +94,7 @@ def decontaminate_provenance(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    min_hits: int = 1,
 ) -> DataFrame:
     """Audit trail for flagged docs (VERDICT r4 stretch #8): for every
     contaminated corpus doc, WHICH holdout doc contaminates it most.
@@ -103,6 +104,10 @@ def decontaminate_provenance(
     (ties → smallest holdout id), that count, and how many distinct
     holdout docs share at least one window. Contaminated docs only —
     filter-side audit, not the full report (`decontaminate` is that).
+    Pass the SAME `min_hits` as the `decontaminate` call being audited
+    (r5 review): "contaminated" here means total distinct shared windows
+    (matching ANY holdout doc — `decontaminate`'s n_overlap) >= min_hits,
+    so the audit set never lists docs the filter deliberately retained.
 
     Scale shape: identical to `decontaminate` — the holdout (gkey,
     holdout_id) pairs are BROADCAST (eval sets are tiny), the corpus gram
@@ -116,12 +121,23 @@ def decontaminate_provenance(
             "_doc", "h_doc"
         )
     )
-    pair = (
-        _gram_keys(corpus, id_col, text_col, n)
-        .join(hk, "gkey")
-        .groupBy("_doc", "h_doc")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    hitrows = _gram_keys(corpus, id_col, text_col, n).join(hk, "gkey")
+    pair = hitrows.groupBy("_doc", "h_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
     )
+    if min_hits > 1:
+        # doc-level contamination bar, aligned with decontaminate's
+        # n_overlap: DISTINCT shared windows across all holdout docs (the
+        # per-(doc, h_doc) counts double-count a window shared with
+        # several holdout docs). Aggregates hit rows only — still
+        # delta-proportional to contamination, never the corpus.
+        flagged = (
+            hitrows.groupBy("_doc")
+            .agg(F.countDistinct("gkey").alias("_tot"))
+            .filter(F.col("_tot") >= min_hits)
+            .select("_doc")
+        )
+        pair = pair.join(flagged, "_doc", "left_semi")
     w = Window.partitionBy("_doc")
     wo = w.orderBy(F.col("n_shared").desc(), F.col("h_doc").asc())
     return (

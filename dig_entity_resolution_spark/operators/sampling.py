@@ -91,9 +91,12 @@ def quality_stratified_sample(
     (weights inlined — functions/quality_model.py) and the sampler is the
     same md5-bucket pure function as stratified_sample: no shuffle, no RNG
     state, resume-safe, identical decisions on re-run."""
-    from ..functions.quality_model import fit_quality_model, quality_logit_micro
+    from ..functions.quality_model import (
+        quality_logit_micro,
+        quality_model_cached,
+    )
 
-    weights, bias = fit_quality_model()
+    weights, bias = quality_model_cached()
     band = F.when(
         quality_logit_micro(text_col, weights, bias) > 0, F.lit("good")
     ).otherwise(F.lit("bad"))

@@ -311,13 +311,14 @@ class ERPipeline:
         of affected buckets are kept when absent from the (already
         retraction-filtered) scored table. That anti-join is restricted
         first to scored pairs with BOTH ends inside the affected buckets'
-        membership (broadcast semi-joins), keeping it delta-proportional
-        instead of shuffling the full scored table.
+        membership, keeping it delta-proportional instead of shuffling the
+        full scored table. The membership semi-joins carry NO broadcast
+        hint (r5 review): membership is bounded by affected-bucket SIZE,
+        not delta size — a hot key prefix can hold a large corpus
+        fraction, and a forced broadcast there would blow the driver;
+        AQE broadcasts when the measured size allows.
         """
-        from ..operators.blocking import (
-            sn_affected_record_ids,
-            sorted_neighborhood_delta_pairs,
-        )
+        from ..operators.blocking import sorted_neighborhood_delta
 
         cfg = self.cfg
         records = self._sn_records(records)
@@ -328,7 +329,7 @@ class ERPipeline:
             if changed_ids is not None
             else None
         )
-        sn_all = sorted_neighborhood_delta_pairs(
+        sn_all, aff = sorted_neighborhood_delta(
             records,
             delta_ids,
             id_col="record_id",
@@ -339,25 +340,13 @@ class ERPipeline:
         )
         if changed_ids is None:
             return self._pairs_touching(sn_all, delta_ids)
-        aff = sn_affected_record_ids(
-            records,
-            delta_ids,
-            id_col="record_id",
-            key_cols=cfg.sn_keys,
-            bucket_chars=cfg.sn_bucket_chars,
-            old_affected=old_changed,
-        )
         scored_restricted = (
             scored_old.select("id1", "id2")
             .join(
-                F.broadcast(aff.select(F.col("record_id").alias("id1"))),
-                "id1",
-                "left_semi",
+                aff.select(F.col("record_id").alias("id1")), "id1", "left_semi"
             )
             .join(
-                F.broadcast(aff.select(F.col("record_id").alias("id2"))),
-                "id2",
-                "left_semi",
+                aff.select(F.col("record_id").alias("id2")), "id2", "left_semi"
             )
         )
         return sn_all.join(scored_restricted, ["id1", "id2"], "left_anti")

@@ -1108,15 +1108,14 @@ def q_token_counts_bpe(spark, sf_dir):
 
 
 def _quality_model():
-    """Fitted (weights_micro, bias_micro) — lazy and cached. The training
-    corpus is synthesized in-code (no fixture dependency), so unlike the
-    IVF/BPE artifacts this oracle can never be disabled by a missing file;
-    the fit is serial numpy and bit-deterministic."""
-    if not hasattr(_quality_model, "_cache"):
-        from .functions.quality_model import fit_quality_model
+    """Fitted (weights_micro, bias_micro) — lazy and cached (shared
+    process-wide via quality_model_cached, r5 review). The training corpus
+    is synthesized in-code (no fixture dependency), so unlike the IVF/BPE
+    artifacts this oracle can never be disabled by a missing file; the fit
+    is serial numpy and bit-deterministic."""
+    from .functions.quality_model import quality_model_cached
 
-        _quality_model._cache = fit_quality_model()
-    return _quality_model._cache
+    return quality_model_cached()
 
 
 def _quality_classifier_sql():
@@ -1141,7 +1140,8 @@ def _quality_classifier_sql():
       SELECT doc_id,
              coalesce(list_sum(list_transform(grams,
                t -> wv[(('0x' || substring(md5(t), 1, 15))::BIGINT
-                        % {DIM})::INT + 1])), 0) + {bias} AS logit
+                        % {DIM})::INT + 1])), 0)
+             + greatest(coalesce(len(grams), 0), 1) * {bias} AS logit
       FROM g, w
     )
     SELECT doc_id AS record_id, logit::BIGINT AS logit_micro,

@@ -369,3 +369,34 @@ def test_decontaminate_provenance_and_duplicate_ids(spark):
     deduped = decontaminate(dup_corpus, holdout, n=8, assume_unique_ids=False)
     assert deduped.filter(F.col("doc_id") == 1).count() == 1
     assert deduped.count() == 3
+
+
+def test_decontaminate_provenance_min_hits(spark):
+    """r5 review: provenance must honor the same min_hits bar as the
+    decontaminate filter — a doc below the bar is train-safe and must not
+    appear in the audit."""
+    from dig_entity_resolution_spark.operators.decontaminate import (
+        decontaminate_provenance,
+    )
+
+    leak1 = "alpha beta gamma delta epsilon zeta eta theta"
+    leak2 = "one two three four five six seven eight nine ten"
+    holdout = spark.createDataFrame(
+        [(100, "question " + leak1), (101, "exercise " + leak2 + " end")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, leak1 + " filler " + leak2),   # 4 distinct shared windows
+            (3, "contains " + leak1 + " only"),  # exactly 1
+        ],
+        "doc_id long, text string",
+    )
+    strict = {
+        r.doc_id: r
+        for r in decontaminate_provenance(
+            corpus, holdout, n=8, min_hits=2
+        ).collect()
+    }
+    assert set(strict) == {1}  # doc 3 is below the bar → train-safe, no audit row
+    assert strict[1].top_holdout_id == 101

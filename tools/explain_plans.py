@@ -136,9 +136,13 @@ CHECKS = {
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
     "near_dup_corpus": {
-        # production end product: hot buckets suppressed via broadcast
-        # anti-join; drop-set and canon-info joins broadcast; no all-pairs
-        "must": ["BroadcastHashJoin"],
+        # production end product. The LSH hot-bucket broadcast anti-join
+        # is asserted on minhash_lsh_dup_pairs' own plan — here the CC
+        # checkpoint truncates lineage, so only the final drop/canon joins
+        # remain, which deliberately carry NO broadcast hint (web dedup
+        # can drop 30-50% of a corpus; AQE decides from measured sizes).
+        # Assert the no-Python / no-all-pairs invariants.
+        "must": [],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
     "stratified_sample": {
