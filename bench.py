@@ -72,9 +72,14 @@ BENCH_QUERIES = [
 ]
 
 
-def _noop_run(df) -> float:
+def _noop_run(build) -> float:
+    """Time BUILD + EXECUTE (r5: construction used to run outside the
+    timer, which under-reported operators that execute Spark jobs while
+    the plan is being built — connected_components' iterative closure and
+    everything composing it, e.g. near_dup_corpus, reported only their
+    final join). `build` is a thunk returning the DataFrame."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -93,7 +98,7 @@ def _bench_queries(spark) -> dict[str, float]:
             # persisted-intermediate hit.
             times = []
             for _ in range(2):
-                times.append(_noop_run(reg[name](spark, SF_DIR)))
+                times.append(_noop_run(lambda: reg[name](spark, SF_DIR)))
                 release_caches()
             out[name] = round(min(times), 3)
         except Exception as e:  # keep the bench alive; report the failure
@@ -236,6 +241,13 @@ def main() -> None:
             "minhash_dedup_production (xxhash64 + capped buckets)"
         ),
         "queries_rep": "best-of-2 per query, dedup caches released between reps",
+        "timing_change_r5": (
+            "walls now include DataFrame CONSTRUCTION (operators built on "
+            "connected_components execute the iterative closure during "
+            "construction — r1-r4 walls for connected_components and "
+            "near_dup_* timed only the final join); cross-round compare "
+            "those rows with that in mind"
+        ),
     }
 
     corpus = _ensure_corpus()

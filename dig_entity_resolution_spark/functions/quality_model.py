@@ -160,32 +160,35 @@ def quality_logit_micro(
 ) -> Column:
     """Integer logit (micro-units) of the linear model — JVM-only.
     L·bias + Σ w[bucket(gram)] with L = max(#grams, 1): sign-identical to
-    the trained per-length-normalized decision, exact in int64."""
+    the trained per-length-normalized decision, exact in int64.
+
+    Bigrams come from zip_with over two SLICES of the token array — never
+    element_at(toks, i) inside a transform-over-indices lambda, which
+    CollapseProject inlines into a per-index re-split of the text (the
+    notes-#17 pitfall, O(L²) per doc: measured 7.8s → 0.9s at sf0.1).
+    The gram count is computed arithmetically (n + max(n−1,0)) for the
+    same reason."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
     grams = F.concat(toks, bigrams)
     wlit = F.expr(
         "array(" + ",".join(f"{w}L" for w in weights_micro) + ")"
     )
-    buckets = F.transform(grams, lambda g: md5_long(g) % dim)
-    scale = F.greatest(
-        F.coalesce(F.size(grams), F.lit(0)), F.lit(1)
-    ).cast("long")
-    return scale * F.lit(int(bias_micro)).cast("long") + F.coalesce(
-        F.aggregate(
-            buckets,
-            F.lit(0).cast("long"),
-            lambda a, bkt: a + F.element_at(wlit, bkt.cast("int") + 1),
-        ),
+    gram_sum = F.aggregate(
+        grams,
         F.lit(0).cast("long"),
+        lambda a, g: a
+        + F.element_at(wlit, (md5_long(g) % dim).cast("int") + 1),
+    )
+    n0 = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
+    n_grams = (n0 + F.greatest(n0 - 1, F.lit(0))).cast("long")
+    scale = F.greatest(n_grams, F.lit(1).cast("long"))
+    return scale * F.lit(int(bias_micro)).cast("long") + F.coalesce(
+        gram_sum, F.lit(0).cast("long")
     )

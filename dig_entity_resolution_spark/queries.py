@@ -1082,25 +1082,20 @@ def _bpe_sql():
 def q_token_counts_bpe(spark, sf_dir):
     """Per-doc token budget under a REAL (fitted) BPE tokenizer — the
     sequential-fold variant documented in functions/bpe.py, applied as a
-    pure JVM nested-aggregate fold (no Python, no shuffle; the merges
-    table rides the expression as a literal). The pandas_udf production
-    twin (bpe_tokenize_pandas) is pinned equal in pytest."""
-    from .functions.bpe import bpe_fit_local, bpe_token_count, split_words
+    pure JVM nested-aggregate fold (no Python; the merges table rides the
+    expression as a literal) over the DISTINCT-WORD projection, with
+    integer counts joined back per doc (the Zipfian scale shape —
+    measured 25× the per-occurrence expression at sf0.1, identical
+    values). The pandas_udf production twin (bpe_tokenize_pandas) and the
+    per-occurrence fold (bpe_token_count) are pinned equal in pytest."""
+    from .functions.bpe import bpe_fit_local, bpe_token_counts
 
     merges = _bpe_merges()
     if merges is None:  # fixture absent (rows-only mode): fit on sf_dir
         merges = bpe_fit_local(f"{sf_dir}/documents.parquet", n_merges=40)
     d = _docs(spark, sf_dir)
-    # coalesce: a NULL text propagates NULL through split/aggregate while
-    # the twin's LEFT JOIN + coalesce yields 0 — align on 0
-    return d.select(
-        F.col("doc_id").alias("record_id"),
-        F.coalesce(F.size(split_words("text")), F.lit(0))
-        .cast("long")
-        .alias("n_words"),
-        F.coalesce(bpe_token_count("text", merges), F.lit(0).cast("long")).alias(
-            "n_tokens_bpe"
-        ),
+    return bpe_token_counts(d, "doc_id", "text", merges).withColumnRenamed(
+        "doc_id", "record_id"
     )
 
 

@@ -142,3 +142,27 @@ def test_token_count_and_fixture_fit(spark):
         # BPE can never exceed character count nor undercut word count
         n_words = len([w for w in r["text"].split(" ") if w])
         assert n_words <= r["n"]
+
+
+def test_distinct_word_counts_match_per_occurrence(spark):
+    """The gate query's distinct-word shape must be value-identical to the
+    direct per-occurrence fold (tokenization is a pure per-word function)."""
+    from dig_entity_resolution_spark.functions.bpe import bpe_token_counts
+
+    merges = bpe_fit_local("/root/testdata/sf0.001/documents.parquet", n_merges=20)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    via_vocab = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe)
+        for r in bpe_token_counts(d, "doc_id", "text", merges).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_words, r.n)
+        for r in d.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+            ).cast("long").alias("n_words"),
+            bpe_token_count("text", merges).alias("n"),
+        ).collect()
+    }
+    assert via_vocab == direct

@@ -114,12 +114,11 @@ CHECKS = {
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
     "token_counts_bpe": {
-        # nested-aggregate BPE fold: pure per-row JVM expression — no
-        # Python, no shuffle, merges ride the expression as a literal
-        "must": ["Project"],
-        "must_not": [
-            "CartesianProduct", "Exchange", "ArrowEvalPython", "BatchEvalPython",
-        ],
+        # distinct-word shape (r5): the nested-fold runs per VOCABULARY
+        # entry, counts join back per doc — shuffles are expected (vocab
+        # distinct + per-doc sum); still zero Python anywhere
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
     "quality_classifier": {
         # hashed-ngram linear scorer: weights inlined as a literal array —
