@@ -10,7 +10,12 @@ Codec reality in this sandbox (no Pillow/libav):
     24-bit BMP images (`decode_bmp`/`encode_bmp`) and PCM WAV audio
     (`decode_wav`/`encode_wav`), including a real nearest-neighbor resize.
     Round-tripped byte-exactly in tests.
-  * COMPRESSED formats (jpeg/mp3/mp4) genuinely require external codecs;
+  * PNG decodes FOR REAL too (r5): its compression is stdlib zlib, so
+    `decode_png` needs no external library — chunk parse, inflate, and
+    all five scanline filters (None/Sub/Up/Average/Paeth) in pure numpy,
+    for 8-bit gray/RGB/RGBA non-interlaced. `encode_png` writes 8-bit
+    RGB. Round-tripped and filter-exercised in tests.
+  * jpeg/webp/mp3/mp4 genuinely require external codecs;
     `decode_image_real` raises NotImplementedError for those, and
     feature extraction falls back to a deterministic byte-histogram so the
     pipeline shape stays exercised end-to-end.
@@ -128,14 +133,127 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG codec (r5): zlib is stdlib, so PNG — unlike jpeg/webp — needs no
+# external library. 8-bit gray/RGB/RGBA, non-interlaced, all five scanline
+# filters (None/Sub/Up/Average/Paeth). Gray broadcasts to 3 channels and
+# alpha is dropped so every image decode yields (h, w, 3) like decode_bmp.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal real PNG writer: 8-bit RGB, filter 0, one IDAT."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (pure numpy + stdlib zlib): parses IHDR/IDAT/IEND,
+    inflates, and reverses the per-scanline filter. Supports 8-bit color
+    types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the variants a
+    synthetic/training-thumbnail pipeline writes; palette/16-bit/interlaced
+    raise ValueError (malformed-or-unsupported, row falls back)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype} "
+            f"interlace={interlace}); supported: 8-bit gray/RGB/RGBA"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode an image payload. BMP decodes for real (pure numpy);
-    compressed formats need a codec library absent from this sandbox."""
+    """Decode an image payload. BMP and PNG decode for real (pure
+    numpy; PNG inflates via stdlib zlib); jpeg/webp genuinely need codec
+    libraries absent from this sandbox."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decode (jpeg/png/webp) requires an imaging "
-        "library not present in this environment; BMP decodes natively"
+        "compressed image decode (jpeg/webp) requires an imaging "
+        "library not present in this environment; BMP and PNG decode "
+        "natively"
     )
 
 
@@ -190,8 +308,10 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def _features_for(kind: str, mime: str | None, payload: bytes | None) -> np.ndarray:
     try:
-        if payload and kind == "image" and payload[:2] == b"BM":
-            return _image_features(decode_bmp(payload))
+        if payload and kind == "image" and (
+            payload[:2] == b"BM" or payload[:8] == _PNG_SIG
+        ):
+            return _image_features(decode_image_real(payload))
         if payload and kind == "audio" and payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
     except (ValueError, NotImplementedError):
@@ -228,19 +348,22 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def thumbnail_images(assets: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFrame:
-    """Real resize stage: decode BMP → nearest-neighbor thumbnail →
-    re-encode BMP. (asset_id, thumb:binary). Non-BMP rows are skipped —
+    """Real resize stage: decode BMP/PNG → nearest-neighbor thumbnail →
+    re-encode BMP. (asset_id, thumb:binary). Undecodable rows are skipped —
     at scale this is the 'normalize resolution before embedding' pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, thumbs = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None or bytes(payload[:2]) != b"BM":
+                if payload is None or (
+                    bytes(payload[:2]) != b"BM"
+                    and bytes(payload[:8]) != _PNG_SIG
+                ):
                     continue
                 try:
-                    img = decode_bmp(bytes(payload))
-                except ValueError:
+                    img = decode_image_real(bytes(payload))
+                except (ValueError, NotImplementedError):
                     continue
                 ids.append(aid)
                 thumbs.append(encode_bmp(resize_nearest(img, out_h, out_w)))

@@ -49,8 +49,12 @@ def test_resize_nearest():
 def test_decode_image_real_bmp_yes_compressed_no():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     assert decode_image_real(encode_bmp(img)).shape == (4, 4, 3)
-    with pytest.raises(NotImplementedError):
+    # r5: PNG now decodes FOR REAL (stdlib zlib) — a bare signature is a
+    # MALFORMED png (ValueError), while jpeg stays honestly gated
+    with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff\xe0jpeg")
 
 
 # -- Spark-side stages ---------------------------------------------------------
@@ -107,3 +111,133 @@ def test_frame_sample_plan(spark):
     assert set(by_asset) == set(vids)
     for aid, frames in by_asset.items():
         assert frames == list(range(0, vids[aid], 1000))
+
+
+def test_png_roundtrip_exact():
+    """r5: PNG decodes for REAL (stdlib zlib) — encode→decode must be
+    pixel-exact."""
+    import numpy as np
+
+    from dig_entity_resolution_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filter_types_and_color_types():
+    """Hand-build PNGs exercising every scanline filter (Sub/Up/Average/
+    Paeth) and the gray + RGBA color types, checked against a pure-Python
+    reference filter implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dig_entity_resolution_spark.operators.multimodal import decode_png
+
+    def build_png(img, ctype, filters):
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        flat = img.reshape(h, w * ch).astype(int)
+        raw = b""
+        prev = [0] * (w * ch)
+        for y in range(h):
+            ft = filters[y % len(filters)]
+            line = list(flat[y])
+            enc = []
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((line[x] - pred) & 0xFF)
+            raw += bytes([ft]) + bytes(enc)
+            prev = line
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    # RGB with every filter type in rotation
+    rgb = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(build_png(rgb, 2, [0, 1, 2, 3, 4])), rgb
+    )
+    # grayscale → broadcast to 3 channels
+    gray = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    got = decode_png(build_png(gray, 0, [4, 3, 2, 1]))
+    assert got.shape == (6, 5, 3)
+    assert np.array_equal(got[:, :, 0], gray)
+    assert np.array_equal(got[:, :, 1], gray)
+    # RGBA → alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    got = decode_png(build_png(rgba, 6, [2, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_unsupported_variants_raise():
+    import pytest as _pytest
+
+    from dig_entity_resolution_spark.operators.multimodal import (
+        decode_image_real,
+        decode_png,
+    )
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xff\xe0 not png")
+    # jpeg still honestly gated
+    with _pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_png_feature_and_thumbnail_paths(spark):
+    """PNG payloads flow through the REAL decode in feature extraction
+    (histogram sums to ~1 over luma bins, not the byte-histogram shape)
+    and through thumbnail_images."""
+    import numpy as np
+
+    from dig_entity_resolution_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_bmp,
+        encode_png,
+        extract_features,
+        thumbnail_images,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_png(img)), "image/png", 8, 12, None)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = extract_features(df).collect()[0].features
+    # real image features: slot 14 is aspect ratio w/h, slot 15 the fill 1.0
+    assert abs(feats[14] - 8 / 12) < 1e-9 and feats[15] == 1.0
+    thumb = thumbnail_images(df, out_h=4, out_w=4).collect()
+    assert len(thumb) == 1
+    assert decode_bmp(bytes(thumb[0].thumb)).shape == (4, 4, 3)

@@ -119,3 +119,32 @@ def test_streaming_er_latest_wins_recrawls(spark, tmp_path):
         (r.record_id, r.cluster_id) for r in ser.clusters().collect()
     )
     assert got == expect
+
+
+def test_streaming_er_with_sorted_neighborhood(spark, tmp_path):
+    """r5: the SN strategy composes through the streaming path — the
+    foreachBatch sink chains run_incremental, whose SN delta semantics
+    must keep stream == batch equality with SN enabled."""
+    cfg_kw = dict(
+        strategies=("token", "prefix", "sorted_neighborhood"),
+        sn_window=4,
+        sn_bucket_chars=1,
+    )
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=8, cluster_size=3, n_singletons=30
+    )
+    pages = spark.read.parquet(paths["pages"])
+    full = ERPipeline(spark, str(tmp_path / "whf"), "full", ERConfig(**cfg_kw))
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in full.run(pages).collect()
+    )
+    in_dir = str(tmp_path / "stream_in")
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    pages.filter(split).coalesce(1).write.mode("append").parquet(in_dir)
+    pages.filter(~split).coalesce(1).write.mode("append").parquet(in_dir)
+    ser = StreamingER(spark, str(tmp_path / "whs"), ERConfig(**cfg_kw))
+    _drain(spark, in_dir, str(tmp_path / "ckpt"), ser)
+    got = sorted(
+        (r.record_id, r.cluster_id) for r in ser.clusters().collect()
+    )
+    assert got == expect
