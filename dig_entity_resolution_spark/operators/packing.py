@@ -41,13 +41,19 @@ def pack_sequences(
     capacity: int = 2048,
     salt: str = "pack",
     bucket_hex: int = 2,
+    token_count=None,
 ) -> DataFrame:
     """(id, n_tokens, global_start, first_chunk, last_chunk, n_chunks):
     the packing map — where each doc's tokens land after the corpus is
     concatenated in md5(salt:id) order and sliced into `capacity`-token
     chunks. Deterministic (no RNG state), resume-safe, and stable under
     any input partitioning. Tokenization is single-space split, the same
-    rule as repeated_substring_spans/decontaminate."""
+    rule as repeated_substring_spans/decontaminate — unless `token_count`
+    is given: a callable text-Column → bigint-Column that supplies the
+    budget unit instead (r5: pass
+    `lambda c: bpe_token_count(c, merges)` to pack by REAL tokenizer
+    counts — the unit a training run actually budgets; NULL-text handling
+    is then the counter's contract)."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     if not 1 <= bucket_hex <= 8:
@@ -72,10 +78,15 @@ def pack_sequences(
     ).otherwise(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
     )
+    counter = (
+        token_count
+        if token_count is not None
+        else (lambda c: F.size(F.split(c, " ")).cast("long"))
+    )
     n_tok = F.when(
         F.col(text_col).isNull(),
         F.raise_error(F.lit(f"pack_sequences: NULL {text_col}")),
-    ).otherwise(F.size(F.split(F.col(text_col), " ")).cast("long"))
+    ).otherwise(counter(F.col(text_col)).cast("long"))
     base = docs.select(
         F.col(id_col),
         ord_key.alias("_ord"),

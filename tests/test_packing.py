@@ -175,3 +175,38 @@ try:
 
 except ImportError:  # hypothesis not installed — deterministic tests remain
     pass
+
+
+def test_pack_sequences_with_bpe_token_counter(spark):
+    """r5 composition: packing budgeted in REAL BPE tokens — the counter
+    plugs in as the budget unit, chunk arithmetic stays integer-exact,
+    and totals match the pure-Python tokenizer."""
+    from dig_entity_resolution_spark.functions.bpe import (
+        apply_bpe_word,
+        bpe_fit_local,
+        bpe_token_count,
+    )
+    from dig_entity_resolution_spark.operators.packing import pack_sequences
+
+    merges = bpe_fit_local(
+        "/root/testdata/sf0.001/documents.parquet", n_merges=20
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    packed = pack_sequences(
+        d, "doc_id", "text", capacity=128, salt="bpe",
+        token_count=lambda c: bpe_token_count(c, merges),
+    ).collect()
+    texts = {r.doc_id: r.text for r in d.collect()}
+    # n_tokens is the real BPE count per doc
+    for r in packed:
+        expect = sum(
+            len(apply_bpe_word(w, merges))
+            for w in texts[r.doc_id].split(" ") if w
+        )
+        assert r.n_tokens == expect
+    # spans tile the concatenation exactly: sorted starts are contiguous
+    spans = sorted((r.global_start, r.n_tokens) for r in packed)
+    pos = 0
+    for start, n in spans:
+        assert start == pos
+        pos += n
