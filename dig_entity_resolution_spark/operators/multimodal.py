@@ -182,17 +182,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, ihdr = 8, b"", None
-    while pos + 8 <= len(payload):
-        (size,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + size
+    try:
+        while pos + 8 <= len(payload):
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + size
+    except struct.error as e:  # truncated chunk framing → malformed
+        raise ValueError(f"corrupt PNG chunk structure: {e}") from e
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
@@ -202,7 +205,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG variant (depth={depth} color={ctype} "
             f"interlace={interlace}); supported: 8-bit gray/RGB/RGBA"
         )
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # corrupt deflate → ValueError so the
+        # feature-extraction fallback catches it like any malformed row
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated PNG pixel data")

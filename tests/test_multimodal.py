@@ -241,3 +241,30 @@ def test_png_feature_and_thumbnail_paths(spark):
     thumb = thumbnail_images(df, out_h=4, out_w=4).collect()
     assert len(thumb) == 1
     assert decode_bmp(bytes(thumb[0].thumb)).shape == (4, 4, 3)
+
+
+def test_png_corrupt_payloads_fall_back_not_crash(spark):
+    """Corrupt PNG bytes (bad deflate, truncated chunks) must surface as
+    ValueError — and therefore fall back to byte-histogram features in
+    the Spark stage instead of killing the UDF."""
+    import numpy as np
+
+    from dig_entity_resolution_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_png,
+        encode_png,
+        extract_features,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    bad_deflate = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+    truncated = good[:20]
+    for payload in (bad_deflate, truncated):
+        with pytest.raises(ValueError):
+            decode_png(payload)
+    rows = [
+        (1, "image", bytearray(bad_deflate), "image/png", 4, 4, None),
+        (2, "image", bytearray(truncated), "image/png", 4, 4, None),
+    ]
+    feats = extract_features(spark.createDataFrame(rows, ASSET_SCHEMA)).collect()
+    assert len(feats) == 2  # rows survive with fallback features
