@@ -98,6 +98,13 @@ class ERConfig:
 
 
 class ERPipeline:
+    #: strategies run() understands — a typo'd name would otherwise
+    #: silently contribute NOTHING (all_blocks skips unknown entries and
+    #: the pipeline would resolve with whatever strategies remain)
+    KNOWN_STRATEGIES = frozenset(
+        {"token", "prefix", "minhash_lsh", "sorted_neighborhood"}
+    )
+
     def __init__(
         self,
         spark: SparkSession,
@@ -107,6 +114,12 @@ class ERPipeline:
     ):
         self.spark = spark
         self.cfg = config or ERConfig()
+        unknown = set(self.cfg.strategies) - self.KNOWN_STRATEGIES
+        if unknown:
+            raise ValueError(
+                f"unknown blocking strategies {sorted(unknown)}; known: "
+                f"{sorted(self.KNOWN_STRATEGIES)}"
+            )
         self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
         self.computed_stages: list[str] = []
         # filled by the clusters stage: {"rounds": CC rounds executed,

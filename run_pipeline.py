@@ -63,14 +63,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-block-size", type=int, default=100)
     p.add_argument("--block-top-n", type=int, default=50)
     p.add_argument("--n-salts", type=int, default=16)
+    p.add_argument(
+        "--strategies",
+        default="token,prefix,minhash_lsh",
+        help="comma list of blocking strategies: token, prefix, "
+        "minhash_lsh, sorted_neighborhood (r5; pair-producing — see "
+        "ERConfig)",
+    )
+    p.add_argument("--sn-window", type=int, default=4)
+    p.add_argument(
+        "--sn-bucket-chars", type=int, default=4,
+        help="SN bucket prefix length — size to the corpus (see "
+        "sorted_neighborhood_pairs docstring)",
+    )
     args = p.parse_args(argv)
 
     spark = build_session(app_name=f"er-pipeline-{args.run_id}")
     cfg = ERConfig(
+        strategies=tuple(
+            s.strip() for s in args.strategies.split(",") if s.strip()
+        ),
         threshold=args.threshold,
         max_block_size=args.max_block_size,
         block_top_n=args.block_top_n,
         n_salts=args.n_salts,
+        sn_window=args.sn_window,
+        sn_bucket_chars=args.sn_bucket_chars,
         use_extractor=args.use_extractor,
         id_bits=args.id_bits,
         check_id_collisions=args.check_id_collisions,

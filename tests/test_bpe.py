@@ -166,3 +166,31 @@ def test_distinct_word_counts_match_per_occurrence(spark):
         ).collect()
     }
     assert via_vocab == direct
+
+
+def test_unicode_codepoint_split_cross_engine(spark):
+    """Char splitting must be per-CODEPOINT in all three engines — a
+    byte-level split would shred multibyte UTF-8 and the SQL twin would
+    diverge. Pin Spark split('') and DuckDB string_split('','') against
+    Python list() on accented/CJK words."""
+    duckdb = pytest.importorskip("duckdb")
+    words = ["héllo", "naïve", "日本語", "emoji🙂end", "ß"]
+    merges = [("h", "é"), ("日", "本")]
+    # Spark native fold
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    spark_toks = {
+        r["w"]: r["t"]
+        for r in df.select(
+            "w", bpe_tokens_word(F.col("w"), bpe_merges_literal(merges)).alias("t")
+        ).collect()
+    }
+    # DuckDB split
+    duck = {
+        w: duckdb.connect().execute(
+            "select string_split(?, '')", [w]
+        ).fetchone()[0]
+        for w in words
+    }
+    for w in words:
+        assert spark_toks[w] == apply_bpe_word(w, merges), w
+        assert duck[w] == list(w), w
