@@ -38,7 +38,16 @@ joining loses matches at shared separators (verified divergence on
 
 Constraint: the separator \\x1f must not occur inside tokens for the SQL
 twin to be valid; `fit_bpe_merges` refuses such words, and the synthetic
-web corpora are ASCII. Char splitting is per-codepoint in both engines.
+web corpora are ASCII. Char splitting is per-codepoint in both engines
+(pinned cross-engine in tests — a byte-level split would shred UTF-8).
+
+Vocab-size boundary: the native fold carries the merges table as an
+expression literal, fine for the moderate merge counts the oracle twins
+use (expression size and per-word cost are O(M)). A production 32k-merge
+vocabulary belongs on the pandas path (`bpe_tokenize_pandas`): the merges
+ride the closure once per worker, the word memo amortizes Zipf repetition,
+and per-word application can use a rank-dict priority loop if profiling
+ever demands it (equivalent for trained merges — see APPLICATION SPEC).
 """
 
 from __future__ import annotations

@@ -142,6 +142,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: hard cap on decoded pixel bytes (256 MB) — web corpora are untrusted,
+#: and a PNG's IHDR can declare any dimensions it likes
+_PNG_MAX_BYTES = 1 << 28
+
 
 def encode_png(img: np.ndarray) -> bytes:
     """Minimal real PNG writer: 8-bit RGB, filter 0, one IDAT."""
@@ -205,32 +209,51 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG variant (depth={depth} color={ctype} "
             f"interlace={interlace}); supported: 8-bit gray/RGB/RGBA"
         )
+    stride = w * channels
+    expected = h * (stride + 1)
+    # r5 review: (a) cap declared dimensions BEFORE touching the deflate
+    # stream (an IHDR claiming absurd w×h must not size anything); (b)
+    # bound the inflate to exactly the declared pixel bytes — plain
+    # zlib.decompress would happily expand a ~30 MB decompression-bomb
+    # payload to ~30 GB inside the Arrow batch, an uncatchable OOM rather
+    # than the ValueError fallback this decoder promises.
+    if expected > _PNG_MAX_BYTES:
+        raise ValueError(
+            f"PNG declares {w}x{h}x{channels} = {expected} bytes, over the "
+            f"{_PNG_MAX_BYTES}-byte decode cap"
+        )
     try:
-        raw = zlib.decompress(idat)
+        obj = zlib.decompressobj()
+        raw = obj.decompress(idat, expected)
+        if obj.unconsumed_tail and obj.decompress(obj.unconsumed_tail, 1):
+            raise ValueError("PNG pixel data exceeds declared dimensions")
     except zlib.error as e:  # corrupt deflate → ValueError so the
         # feature-extraction fallback catches it like any malformed row
         raise ValueError(f"corrupt PNG deflate stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        ftype, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int64)
         if ftype == 0:
             cur = line
         elif ftype == 2:  # Up — fully vectorized
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
-            cur = np.zeros(stride, dtype=np.int32)
+        elif ftype == 1:  # Sub — per-channel cumsum mod 256 (r5 review:
+            # this is vectorizable like Up; only Average/Paeth genuinely
+            # need the sequential x-scan)
+            cur = np.empty(stride, dtype=np.int64)
+            for c in range(channels):
+                cur[c::channels] = np.cumsum(line[c::channels]) & 0xFF
+        elif ftype in (3, 4):  # Average/Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = cur[x - channels] if x >= channels else 0
                 b = prev[x]
                 c = prev[x - channels] if x >= channels else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:  # Paeth
                     p = a + b - c

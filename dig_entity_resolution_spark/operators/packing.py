@@ -52,8 +52,13 @@ def pack_sequences(
     is given: a callable text-Column → bigint-Column that supplies the
     budget unit instead (r5: pass
     `lambda c: bpe_token_count(c, merges)` to pack by REAL tokenizer
-    counts — the unit a training run actually budgets; NULL-text handling
-    is then the counter's contract)."""
+    counts — the unit a training run actually budgets). NULL text always
+    raises loudly (same as the default path), and the counter must return
+    >= 1 for every non-null doc: a zero-token doc has no place in the
+    packed stream (its zero-width span corrupts the chunk arithmetic), so
+    it too raises in-plan — filter empty docs out before packing (r5
+    review; the default whitespace counter can't return 0 because
+    split('') yields [''])."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     if not 1 <= bucket_hex <= 8:
@@ -83,10 +88,20 @@ def pack_sequences(
         if token_count is not None
         else (lambda c: F.size(F.split(c, " ")).cast("long"))
     )
-    n_tok = F.when(
+    counted = F.when(
         F.col(text_col).isNull(),
         F.raise_error(F.lit(f"pack_sequences: NULL {text_col}")),
     ).otherwise(counter(F.col(text_col)).cast("long"))
+    n_tok = F.when(
+        counted <= 0,
+        F.raise_error(
+            F.lit(
+                "pack_sequences: non-positive token count — filter "
+                "zero-token docs out before packing (a zero-width span "
+                "corrupts the chunk arithmetic)"
+            )
+        ).cast("long"),
+    ).otherwise(counted)
     base = docs.select(
         F.col(id_col),
         ord_key.alias("_ord"),

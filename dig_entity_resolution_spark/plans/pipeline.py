@@ -120,6 +120,11 @@ class ERPipeline:
                 f"unknown blocking strategies {sorted(unknown)}; known: "
                 f"{sorted(self.KNOWN_STRATEGIES)}"
             )
+        if not self.cfg.strategies:
+            # an empty tuple would "succeed" with zero candidate pairs —
+            # every record a singleton — which is exactly the silent
+            # failure the unknown-name check exists to prevent (r5 review)
+            raise ValueError("at least one blocking strategy is required")
         self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
         self.computed_stages: list[str] = []
         # filled by the clusters stage: {"rounds": CC rounds executed,

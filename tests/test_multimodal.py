@@ -257,7 +257,12 @@ def test_png_corrupt_payloads_fall_back_not_crash(spark):
     )
 
     good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
-    bad_deflate = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+    # IDAT body starts at byte 41 (sig 8 + IHDR chunk 25 + len 4 + tag 4);
+    # byte 41 is the zlib CMF header — corrupting it guarantees a
+    # deterministic zlib "incorrect header check" (a flip at byte 40 only
+    # mangled the chunk TAG, skipping IDAT entirely — r5 review)
+    assert good[37:41] == b"IDAT"
+    bad_deflate = good[:41] + bytes([good[41] ^ 0xFF]) + good[42:]
     truncated = good[:20]
     for payload in (bad_deflate, truncated):
         with pytest.raises(ValueError):
@@ -268,3 +273,66 @@ def test_png_corrupt_payloads_fall_back_not_crash(spark):
     ]
     feats = extract_features(spark.createDataFrame(rows, ASSET_SCHEMA)).collect()
     assert len(feats) == 2  # rows survive with fallback features
+
+
+def test_png_decompression_bomb_bounded():
+    """An IHDR declaring huge dimensions must be rejected BEFORE inflating
+    (decode cap), and a stream inflating past its declared size must raise
+    — never allocate unbounded memory inside the UDF (r5 review)."""
+    import struct
+    import zlib
+
+    from dig_entity_resolution_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 100000 x 100000 RGB claims ~30 GB of pixel bytes from a tiny payload
+    bomb = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(bomb)
+    # dimensions under the cap but stream inflating PAST them
+    over = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds declared"):
+        decode_png(over)
+
+
+def test_pack_sequences_rejects_zero_token_docs(spark):
+    """A counter returning 0 (e.g. BPE on empty text) must fail loudly —
+    a zero-width span corrupts the chunk arithmetic downstream (r5
+    review, confirmed crash in pack_chunk_stats before the guard)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dig_entity_resolution_spark.operators.packing import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, "ab cd"), (2, "")], "doc_id long, text string"
+    )
+    counter = lambda c: F.size(F.filter(F.split(c, " "), lambda w: w != F.lit("")))  # noqa: E731
+    with _pytest.raises(Exception, match="non-positive token count"):
+        pack_sequences(
+            d, "doc_id", "text", capacity=4, token_count=counter
+        ).collect()
+    # and the clean slice still packs fine with the same counter
+    ok = pack_sequences(
+        d.filter(F.col("doc_id") == 1), "doc_id", "text", capacity=4,
+        token_count=counter,
+    ).collect()
+    assert ok[0].n_tokens == 2
