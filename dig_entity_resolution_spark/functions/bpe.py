@@ -228,7 +228,12 @@ def bpe_token_counts(
     pure per-word function), so the DuckDB twin — which already recurses
     over distinct words — is unchanged. Costs one shuffle for the vocab
     distinct and one for the per-doc sum; the counts side of the join is
-    vocabulary-sized, so AQE broadcasts it."""
+    vocabulary-sized, so AQE broadcasts it.
+
+    NULL text raises loudly in-plan (r6 advice: this feeds the same token
+    budgeting as pack_sequences, which already raises — a silently-zero
+    doc would pass budget checks unnoticed). EMPTY text is a legitimate
+    0-word/0-token doc and stays."""
     from pyspark.sql import functions as _F
 
     mc = bpe_merges_literal(merges)
@@ -251,8 +256,18 @@ def bpe_token_counts(
             _F.sum("_n_tok").alias("n_tokens_bpe"),
         )
     )
+    guarded_id = _F.when(
+        _F.col(text_col).isNull(),
+        _F.raise_error(
+            _F.lit(
+                f"bpe_token_counts: NULL {text_col} — filter or fill NULL "
+                "docs before token budgeting (same contract as "
+                "pack_sequences)"
+            )
+        ),
+    ).otherwise(_F.col(id_col))
     return (
-        docs.select(_F.col(id_col))
+        docs.select(guarded_id.alias(id_col))
         .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
         .select(
             _F.col(id_col),

@@ -209,6 +209,8 @@ def sorted_neighborhood_pairs(
     deterministic and SQL-expressible, so the whole operator has a DuckDB
     oracle twin. Returns canonical (id1, id2) pairs, id1 < id2.
     """
+    if not key_cols:
+        raise ValueError("sorted_neighborhood_pairs: key_cols must be non-empty")
     out = None
     for key in key_cols:
         bucketed = _sn_bucketed(records, id_col, key, bucket_chars)
@@ -308,6 +310,8 @@ def sorted_neighborhood_delta(
     a large corpus fraction), so downstream joins on it must not be
     force-broadcast.
     """
+    if not key_cols:
+        raise ValueError("sorted_neighborhood_delta: key_cols must be non-empty")
     pairs_out = None
     ids_out = None
     for key in key_cols:

@@ -203,6 +203,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    # r6 advice: zero dimensions are invalid per the PNG spec (RFC 2083 §3.1)
+    # AND would defeat the decode cap below — expected == 0 makes
+    # zlib.decompressobj().decompress(idat, max_length=0) mean UNLIMITED,
+    # letting a crafted bomb inflate fully before the length check.
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h} (zero not allowed)")
     channels = {0: 1, 2: 3, 6: 4}.get(ctype)
     if depth != 8 or channels is None or interlace != 0:
         raise ValueError(

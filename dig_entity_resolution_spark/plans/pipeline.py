@@ -125,6 +125,12 @@ class ERPipeline:
             # every record a singleton — which is exactly the silent
             # failure the unknown-name check exists to prevent (r5 review)
             raise ValueError("at least one blocking strategy is required")
+        if "sorted_neighborhood" in self.cfg.strategies and not self.cfg.sn_keys:
+            # the SN functions would crash later with a bare AttributeError
+            # on None (r6 advice) — fail at construction with the real cause
+            raise ValueError(
+                "sorted_neighborhood strategy requires non-empty sn_keys"
+            )
         self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
         self.computed_stages: list[str] = []
         # filled by the clusters stage: {"rounds": CC rounds executed,

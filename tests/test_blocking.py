@@ -157,3 +157,30 @@ def test_sorted_neighborhood_pair_budget(spark):
     # and each record pairs with its w-1 sort successors exactly
     got = {(r.id1, r.id2) for r in pairs.collect()}
     assert (0, 1) in got and (0, 4) in got and (0, 5) not in got
+
+
+def test_sorted_neighborhood_empty_key_cols_raise(spark):
+    """r6 advice: an empty key_cols tuple previously fell through to
+    None.dropDuplicates (bare AttributeError) — both SN entry points and
+    the pipeline config must fail with the real cause."""
+    from dig_entity_resolution_spark.operators.blocking import (
+        sorted_neighborhood_delta,
+        sorted_neighborhood_pairs,
+    )
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd")], ["record_id", "norm_text"]
+    )
+    with pytest.raises(ValueError, match="key_cols must be non-empty"):
+        sorted_neighborhood_pairs(df, key_cols=())
+    with pytest.raises(ValueError, match="key_cols must be non-empty"):
+        sorted_neighborhood_delta(df, df.select("record_id"), key_cols=())
+    with pytest.raises(ValueError, match="non-empty sn_keys"):
+        ERPipeline(
+            spark,
+            "/tmp/sn_empty_keys_wh",
+            config=ERConfig(
+                strategies=("sorted_neighborhood",), sn_keys=()
+            ),
+        )

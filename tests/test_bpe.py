@@ -236,3 +236,28 @@ def test_bpe_properties_random_corpora():
         assert again == toks
 
     check()
+
+
+def test_token_counts_null_text_raises(spark):
+    """r6 advice: NULL-text docs must fail loudly in bpe_token_counts (the
+    pack_sequences contract) — a silently-zero doc would pass token
+    budgeting unnoticed. Empty text stays a legitimate 0/0 row."""
+    from pyspark.sql.utils import AnalysisException
+
+    from dig_entity_resolution_spark.functions.bpe import bpe_token_counts
+
+    merges = fit_bpe_merges({"ab": 3, "abc": 2}, n_merges=4)
+    ok = spark.createDataFrame(
+        [(1, "ab abc"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe)
+        for r in bpe_token_counts(ok, "doc_id", "text", merges).collect()
+    }
+    assert got[2] == (0, 0)  # empty text is a real 0-token doc
+    bad = spark.createDataFrame(
+        [(1, "ab"), (2, None)], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception) as ei:
+        bpe_token_counts(bad, "doc_id", "text", merges).collect()
+    assert "NULL text" in str(ei.value)

@@ -311,6 +311,18 @@ def test_png_decompression_bomb_bounded():
     )
     with pytest.raises(ValueError, match="exceeds declared"):
         decode_png(over)
+    # r6 advice: w=0 or h=0 makes expected=0, and decompress(idat,
+    # max_length=0) means UNLIMITED — the bomb inflates fully before the
+    # length check. Zero dimensions must be rejected right after IHDR.
+    for w, h in [(0, 100000), (100000, 0), (0, 0)]:
+        zero_bomb = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero not allowed"):
+            decode_png(zero_bomb)
 
 
 def test_pack_sequences_rejects_zero_token_docs(spark):
