@@ -116,6 +116,19 @@ def fit_bpe_merges(
     return merges
 
 
+def bpe_word_freqs_local(parquet_path: str, text_col: str = "text") -> dict[str, int]:
+    """Word-frequency table from a parquet fixture (pyarrow scan — bit-
+    deterministic regardless of Spark partitioning)."""
+    import pyarrow.parquet as pq
+
+    freqs: Counter = Counter()
+    for batch in pq.ParquetFile(parquet_path).iter_batches(columns=[text_col]):
+        for text in batch.column(0).to_pylist():
+            if text:
+                freqs.update(w for w in text.split(" ") if w)
+    return dict(freqs)
+
+
 def bpe_fit_local(
     parquet_path: str,
     text_col: str = "text",
@@ -126,14 +139,7 @@ def bpe_fit_local(
     ivf.fit_centroids_local). The artifact is then INLINED into both the
     Spark expression and the SQL twin; production refits at ingest and
     broadcasts the table."""
-    import pyarrow.parquet as pq
-
-    freqs: Counter = Counter()
-    for batch in pq.ParquetFile(parquet_path).iter_batches(columns=[text_col]):
-        for text in batch.column(0).to_pylist():
-            if text:
-                freqs.update(w for w in text.split(" ") if w)
-    return fit_bpe_merges(dict(freqs), n_merges)
+    return fit_bpe_merges(bpe_word_freqs_local(parquet_path, text_col), n_merges)
 
 
 def apply_bpe_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
@@ -275,6 +281,157 @@ def bpe_token_counts(
             _F.coalesce("n_tokens_bpe", _F.lit(0))
             .cast("long")
             .alias("n_tokens_bpe"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode-to-ids (VERDICT r5 item 3): the vocab/id table, text → array<int>,
+# and the python reference pair used by the roundtrip tests
+# ---------------------------------------------------------------------------
+
+#: token id of the word separator — inserted BETWEEN words' token runs so a
+#: decoded id stream reconstructs the (single-space-normalized) text. Words
+#: are split on " ", so no real token can collide with it.
+SEP_ID = 0
+
+#: id of a token outside the vocabulary (a character the fit never saw).
+#: Kept negative so it can never collide with a vocab index.
+UNK_ID = -1
+
+
+def build_vocab(
+    merges: list[tuple[str, str]], chars: "set[str] | list[str]"
+) -> list[str]:
+    """Deterministic token→id table: id 0 is the word separator " ",
+    sorted base characters next, then merge products in training-rank
+    order (first occurrence wins — two trained merges CAN produce the
+    same string, e.g. ("ab","c") and ("a","bc") both yield "abc").
+    Pure function of (merges, training character set), so both engines
+    inline identical literals (the notes-#25 recipe)."""
+    base = sorted(set(chars) - {" "})
+    vocab = [" "] + base
+    seen = set(vocab)
+    for a, b in merges:
+        t = a + b
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
+    return vocab
+
+
+def encode_bpe_text(
+    text: str, merges: list[tuple[str, str]], vocab: list[str]
+) -> list[int]:
+    """Pure-Python reference encoder (the spec oracle for pytest): BPE
+    tokens per word, mapped through the vocab, SEP_ID between words,
+    UNK_ID for out-of-vocabulary tokens."""
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    ids: list[int] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        if ids:
+            ids.append(SEP_ID)
+        ids.extend(tok2id.get(t, UNK_ID) for t in apply_bpe_word(w, merges))
+    return ids
+
+
+def decode_bpe_ids(ids: list[int], vocab: list[str]) -> str:
+    """ids → text. Exact inverse of encode_bpe_text up to whitespace
+    normalization (multiple spaces collapse at encode; leading/trailing
+    spaces drop). UNK ids are not invertible and raise."""
+    out: list[str] = []
+    for i in ids:
+        if i == UNK_ID:
+            raise ValueError("decode_bpe_ids: UNK id is not invertible")
+        if not 0 <= i < len(vocab):
+            raise ValueError(f"decode_bpe_ids: id {i} outside vocab")
+        out.append(vocab[i])
+    return "".join(out)
+
+
+def bpe_vocab_map_literal(vocab: list[str]) -> Column:
+    """map<string,int> literal of the vocab (token → id)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(*[F.lit(i).cast("int") for i in range(len(vocab))]),
+    )
+
+
+def bpe_word_ids(word: Column, merges_col: Column, vocab_map: Column) -> Column:
+    """array<int> token ids of ONE word: the native fold, then a map
+    lookup per token. try_element_at (not element_at) because ANSI mode
+    raises on a missing map key — OOV tokens become UNK_ID instead."""
+    return F.transform(
+        bpe_tokens_word(word, merges_col),
+        lambda t: F.coalesce(
+            F.try_element_at(vocab_map, t), F.lit(UNK_ID).cast("int")
+        ),
+    )
+
+
+def bpe_encode_ids(
+    docs,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+):
+    """Per-doc (id, token_ids:array<int>) — the training-example token
+    stream (VERDICT r5 item 3 closes the counts→ids gap). Same
+    DISTINCT-WORD shape as bpe_token_counts (notes #36b: web text is
+    Zipfian — the O(M·L) fold runs once per vocabulary entry, never per
+    occurrence), then per-doc reassembly: posexplode keeps word order,
+    array_sort on (pos, ids) structs restores it after the join, SEP_ID
+    is appended per word and the trailing one sliced off. Docs with no
+    words get an empty array; NULL text raises in-plan (the
+    pack_sequences/bpe_token_counts contract). Entirely JVM-side."""
+    mc = bpe_merges_literal(merges)
+    vm = bpe_vocab_map_literal(vocab)
+    words = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(split_words(text_col)).alias("_pos", "_w"),
+    )
+    wids = (
+        words.select("_w")
+        .distinct()
+        .withColumn("_ids", bpe_word_ids(F.col("_w"), mc, vm))
+    )
+    per_doc = (
+        words.join(wids, "_w")
+        .groupBy("_doc")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_ids"))),
+                    lambda x: F.concat(
+                        x["_ids"], F.array(F.lit(SEP_ID).cast("int"))
+                    ),
+                )
+            ).alias("_cat")
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            F.slice("_cat", 1, F.size("_cat") - 1).alias("token_ids"),
+        )
+    )
+    guarded_id = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"bpe_encode_ids: NULL {text_col} — filter or fill NULL "
+                "docs before encoding"
+            )
+        ),
+    ).otherwise(F.col(id_col))
+    empty_ids = F.expr("cast(array() as array<int>)")
+    return (
+        docs.select(guarded_id.alias(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("token_ids", empty_ids).alias("token_ids"),
         )
     )
 

@@ -996,30 +996,37 @@ def q_token_counts(spark, sf_dir):
 # -- real BPE tokenization (VERDICT r4 gap #1) -------------------------------
 
 
-def _bpe_merges():
-    """Fixed BPE tokenizer artifact shared by the Spark query and the SQL
-    twin — fit ONCE, serially, on the oracle fixture (same lazy/cached/
-    audible-downgrade discipline as _ivf_cents; the artifact is used at
-    EVERY sf so the twin stays scale-invariant). Returns None when the
-    fixture is unreadable (rows-only mode)."""
+def _bpe_artifacts():
+    """Fixed BPE tokenizer artifacts (merges, vocab) shared by the Spark
+    queries and the SQL twins — fit ONCE, serially, on the oracle fixture
+    (same lazy/cached/audible-downgrade discipline as _ivf_cents; the
+    artifacts are used at EVERY sf so the twins stay scale-invariant).
+    Returns (None, None) when the fixture is unreadable (rows-only mode)."""
     import os
 
-    if not hasattr(_bpe_merges, "_cache"):
-        from .functions.bpe import bpe_fit_local
+    if not hasattr(_bpe_artifacts, "_cache"):
+        from .functions.bpe import build_vocab, bpe_word_freqs_local, fit_bpe_merges
 
         path = os.path.join(_IVF_ORACLE_DIR, "documents.parquet")
         try:
-            _bpe_merges._cache = bpe_fit_local(path, n_merges=40)
+            freqs = bpe_word_freqs_local(path)
+            merges = fit_bpe_merges(freqs, n_merges=40)
+            vocab = build_vocab(merges, {c for w in freqs for c in w})
+            _bpe_artifacts._cache = (merges, vocab)
         except (FileNotFoundError, OSError) as e:
             import warnings
 
             warnings.warn(
                 f"BPE oracle disabled: fixture {path} unreadable ({e}) — "
-                "token_counts_bpe downgrades to rows-only checking",
+                "BPE queries downgrade to rows-only checking",
                 stacklevel=2,
             )
-            _bpe_merges._cache = None
-    return _bpe_merges._cache
+            _bpe_artifacts._cache = (None, None)
+    return _bpe_artifacts._cache
+
+
+def _bpe_merges():
+    return _bpe_artifacts()[0]
 
 
 def _sql_quote(s: str) -> str:
@@ -1096,6 +1103,212 @@ def q_token_counts_bpe(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return bpe_token_counts(d, "doc_id", "text", merges).withColumnRenamed(
         "doc_id", "record_id"
+    )
+
+
+# -- BPE encode-to-ids + materialized packed chunks (VERDICT r5 item 3) ------
+
+_PACKIDS_C = 512  # chunk capacity in token IDS (fixture docs ≈ 100-300 ids)
+
+
+def _bpe_artifacts_for(sf_dir):
+    """(merges, vocab) — the fixture-fit artifacts, or a local fit on
+    sf_dir when the oracle fixture is absent (rows-only mode)."""
+    merges, vocab = _bpe_artifacts()
+    if merges is None:
+        from .functions.bpe import build_vocab, bpe_word_freqs_local, fit_bpe_merges
+
+        freqs = bpe_word_freqs_local(f"{sf_dir}/documents.parquet")
+        merges = fit_bpe_merges(freqs, n_merges=40)
+        vocab = build_vocab(merges, {c for w in freqs for c in w})
+    return merges, vocab
+
+
+def _bpe_ids_ctes():
+    """Shared DuckDB CTE block ending in docenc(doc_id, token_ids) — the
+    per-doc BPE token-id arrays under the same sequential-fold spec as
+    _bpe_sql (wrapped-separator replace per merge, notes #30), extended
+    from counts to IDS: the final token string splits back into tokens,
+    each token joins the inlined vocab literal (id 0 = word separator,
+    sorted base chars, then merge products in rank order — identical to
+    functions/bpe.build_vocab), per-word id lists reassemble in word
+    order with the separator id appended per word and the trailing one
+    sliced off. Returns None when the fixture is unreadable."""
+    merges, vocab = _bpe_artifacts()
+    if not merges:
+        return None
+    sep = "chr(31)"
+    mrows = ", ".join(
+        f"({i + 1}, {sep}||{_sql_quote(a)}||{sep}||{sep}||{_sql_quote(b)}||{sep}, "
+        f"{sep}||{_sql_quote(a + b)}||{sep})"
+        for i, (a, b) in enumerate(merges)
+    )
+    vrows = ", ".join(
+        f"({_sql_quote(t)}, {i})" for i, t in enumerate(vocab)
+    )
+    m = len(merges)
+    return f"""merges(rank, pat, rep) AS (VALUES {mrows}),
+    vocab(vtok, vid) AS (VALUES {vrows}),
+    wlist AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    wpos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM wlist
+    ),
+    words AS (SELECT doc_id, pos, list_extract(ws, pos) AS w FROM wpos),
+    wf AS (SELECT DISTINCT w FROM words),
+    init AS (
+      SELECT w,
+             list_aggregate(
+               list_transform(string_split(w, ''), t -> chr(31)||t||chr(31)),
+               'string_agg', '') AS s,
+             1 AS rank
+      FROM wf
+    ),
+    bpe AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT b.w, replace(b.s, m.pat, m.rep), b.rank + 1
+      FROM bpe b JOIN merges m ON m.rank = b.rank
+    ),
+    wt AS (
+      SELECT w,
+             list_transform(string_split(s, chr(31)||chr(31)),
+                            t -> trim(t, chr(31))) AS toks
+      FROM bpe WHERE rank = {m} + 1
+    ),
+    wtp AS (SELECT w, toks, unnest(range(1, len(toks) + 1)) AS i FROM wt),
+    wtok AS (SELECT w, i, list_extract(toks, i) AS tok FROM wtp),
+    wids AS (
+      SELECT wtok.w, list(coalesce(v.vid, -1) ORDER BY wtok.i) AS ids
+      FROM wtok LEFT JOIN vocab v ON v.vtok = wtok.tok
+      GROUP BY wtok.w
+    ),
+    docids AS (
+      SELECT words.doc_id,
+             flatten(list(list_append(wids.ids, 0) ORDER BY words.pos)) AS cat
+      FROM words JOIN wids USING (w)
+      GROUP BY words.doc_id
+    ),
+    docenc AS (
+      SELECT doc_id, list_slice(cat, 1, len(cat) - 1) AS token_ids
+      FROM docids
+    )"""
+
+
+def _sql_ids_csv(expr: str) -> str:
+    return (
+        f"list_aggregate(list_transform({expr}, x -> x::VARCHAR), "
+        "'string_agg', ',')"
+    )
+
+
+def _bpe_encode_sql():
+    ctes = _bpe_ids_ctes()
+    if ctes is None:
+        return None
+    return f"""WITH RECURSIVE {ctes}
+    SELECT d.doc_id AS record_id,
+           coalesce(len(e.token_ids), 0)::BIGINT AS n_ids,
+           coalesce({_sql_ids_csv('e.token_ids')}, '') AS ids_csv
+    FROM documents d LEFT JOIN docenc e USING (doc_id)"""
+
+
+@_q("bpe_encode_ids", _bpe_encode_sql)
+def q_bpe_encode_ids(spark, sf_dir):
+    """Text → BPE token-id arrays under the fitted tokenizer (the
+    training-example token stream; VERDICT r5 item 3 closes the
+    counts→ids gap). Native nested-fold over the DISTINCT-word projection
+    + vocab-map literal lookup (functions/bpe.bpe_encode_ids); id 0 is
+    the word separator so the stream decodes back to the normalized text
+    (pytest roundtrip). The id array serializes to CSV in BOTH engines —
+    the registry's no-arrays-in-output rule — so the hash compares the
+    full sequence, order included."""
+    from .functions.bpe import bpe_encode_ids
+
+    merges, vocab = _bpe_artifacts_for(sf_dir)
+    enc = bpe_encode_ids(_docs(spark, sf_dir), "doc_id", "text", merges, vocab)
+    return enc.select(
+        F.col("doc_id").alias("record_id"),
+        F.size("token_ids").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+def _packed_chunk_ids_sql():
+    ctes = _bpe_ids_ctes()
+    if ctes is None:
+        return None
+    c = _PACKIDS_C
+    return f"""WITH RECURSIVE {ctes},
+    base AS (
+      SELECT doc_id, md5('packids:' || doc_id::VARCHAR) AS ord,
+             len(token_ids)::BIGINT AS n_tokens, token_ids
+      FROM docenc WHERE len(token_ids) > 0
+    ),
+    cum AS (
+      SELECT doc_id, token_ids, n_tokens,
+             sum(n_tokens) OVER (ORDER BY ord, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS gend
+      FROM base
+    ),
+    spans AS (
+      SELECT token_ids, (gend - n_tokens)::BIGINT AS gstart, gend::BIGINT AS gend,
+             ((gend - n_tokens) // {c})::BIGINT AS fc,
+             ((gend - 1) // {c})::BIGINT AS lc
+      FROM cum
+    ),
+    per AS (
+      SELECT token_ids, gstart, gend, unnest(range(fc, lc + 1)) AS chunk_id
+      FROM spans
+    ),
+    sl AS (
+      SELECT chunk_id, gstart,
+             list_slice(token_ids,
+                        (greatest(gstart, chunk_id * {c}) - gstart + 1)::INT,
+                        (least(gend, (chunk_id + 1) * {c}) - gstart)::INT)
+               AS piece
+      FROM per
+    ),
+    chunks AS (
+      SELECT chunk_id::BIGINT AS chunk_id,
+             flatten(list(piece ORDER BY gstart)) AS token_ids
+      FROM sl GROUP BY chunk_id
+    )
+    SELECT chunk_id, len(token_ids)::BIGINT AS n_tokens,
+           {_sql_ids_csv('token_ids')} AS ids_csv
+    FROM chunks"""
+
+
+@_q("packed_chunk_ids", _packed_chunk_ids_sql)
+def q_packed_chunk_ids(spark, sf_dir):
+    """The MATERIALIZED training examples: encode every doc to BPE ids,
+    concat in md5('packids:'||id) order, slice into {_PACKIDS_C}-id
+    chunks, and emit each chunk's actual id array (operators/packing.
+    pack_chunks over functions/bpe.bpe_encode_ids — the end product a
+    training-data pipeline ships; VERDICT r5 item 3). Spark computes the
+    map with the two-phase bucketed prefix sum and ships each doc's array
+    pre-sliced per chunk; the single-window DuckDB twin proves the result
+    identical, CSV-serialized ids included."""
+    from .functions.bpe import bpe_encode_ids
+    from .operators.packing import pack_chunks
+
+    merges, vocab = _bpe_artifacts_for(sf_dir)
+    enc = bpe_encode_ids(
+        _docs(spark, sf_dir), "doc_id", "text", merges, vocab
+    ).filter(F.size("token_ids") > 0)
+    chunks = pack_chunks(
+        enc, "doc_id", "token_ids", capacity=_PACKIDS_C, salt="packids"
+    )
+    return chunks.select(
+        "chunk_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
     )
 
 
@@ -2750,6 +2963,13 @@ def q_near_dup_clusters(spark, sf_dir):
 #: three slots for the new standalone operators (token_counts_bpe,
 #: quality_classifier, decontamination_provenance) — all six covered
 #: entries remain oracle-backed and verify via tools/check_oracles.py.
+#: r6: two more demoted to open slots for bpe_encode_ids and
+#: packed_chunk_ids:
+#:   sequence_packing → pack_chunk_stats AND packed_chunk_ids (both gated;
+#:     both compose pack_sequences — packed_chunk_ids additionally proves
+#:     the map by materializing and hashing every chunk's id array);
+#:   connected_components → near_dup_clusters (gated; its recursive-CTE
+#:     twin re-derives the same large-star/small-star CC end-to-end).
 _INGREDIENT_QUERIES = frozenset(
     {
         "char_shingles",
@@ -2758,6 +2978,8 @@ _INGREDIENT_QUERIES = frozenset(
         "minhash_lsh_dup_pairs",
         "simhash_fingerprints",
         "embedding_pq_topk",
+        "sequence_packing",
+        "connected_components",
     }
 )
 

@@ -33,8 +33,8 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 56
-    assert len(names) == 63
+    assert len(oracle_backed) == 58
+    assert len(names) == 65
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     # and every covered entry's consumer is itself gated
@@ -45,6 +45,9 @@ def test_rows_only_queries_register_last():
         "minhash_lsh_dup_pairs": "near_dup_clusters",
         "simhash_fingerprints": "simhash_hamming_pairs",
         "embedding_pq_topk": "embedding_ivfadc_topk",
+        # r6 demotions (slots for bpe_encode_ids / packed_chunk_ids):
+        "sequence_packing": "pack_chunk_stats",
+        "connected_components": "near_dup_clusters",
     }
     assert set(consumers) == set(Q._INGREDIENT_QUERIES)
     for covered, consumer in consumers.items():
