@@ -1,0 +1,421 @@
+"""Incremental near-dup corpus maintenance (VERDICT r5 item 4).
+
+`near_dup_corpus` (operators/dedup.py) is batch: a recurring-crawl
+pipeline would re-deduplicate the whole corpus every batch. This module
+maintains the SAME end product incrementally: resolve a new crawl batch
+against existing state with cost proportional to the delta and the
+buckets it touches — never to the corpus.
+
+Why this is exact (the append-only LSH algebra):
+  * A doc's bucket keys are a pure per-doc function — adding docs never
+    changes an existing doc's buckets, so OLD-OLD candidate pairs can
+    never APPEAR in a batch re-run that incremental would miss (a cold
+    bucket shared by two old docs was cold — counts only grow — and was
+    therefore already mined in an earlier step).
+  * New pairs all touch a delta doc and live in buckets containing one:
+    mine exactly the delta-touched cold buckets (the r3 blocking-armor /
+    notes-#34 precedent).
+  * The ONE way old edges change is RETRACTION: a bucket whose count
+    crosses `max_bucket` is suppressed in batch mode, so pairs whose
+    every supporting bucket is now hot must be dropped. Affected pairs
+    necessarily have BOTH endpoints in a newly-hot bucket, so the
+    re-check is bounded by newly-hot-bucket membership, not corpus size.
+  * Retraction breaks the star warm-start invariant (notes #19) exactly
+    within the clusters a removed edge touched — those clusters re-derive
+    from their REAL remaining edges; every other cluster enters CC as its
+    2-level star (O(1) rounds for local change).
+
+State tables (caller persists/checkpoints them between batches; at
+100 TB each is a parquet table, `buckets`/`counts` bucketed BY the
+bucket key so the delta's semi-joins prune storage partitions instead
+of scanning the corpus):
+  docs    — every doc seen so far (id + passthrough columns)
+  buckets — (doc_id, bucket), UNCAPPED (hot rows included: they are the
+            support-check index)
+  counts  — (bucket, n)
+  edges   — (id1, id2) verified near-dup pairs, id1 < id2
+  assign  — (doc_id, cluster_id) for clustered docs (singletons implicit)
+
+Append-only contract: delta ids must be NEW ids (recrawl/latest-wins
+replacement is the ER pipeline's delta machinery, out of scope here).
+`near_dup_delta` can assert this (`check_new_ids=True`) at the cost of
+one semi-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import lsh_band_keys, minhash_signature
+from ..functions.normalize import char_shingles, normalize_text
+from ..functions.similarity import token_jaccard
+from .cluster import connected_components
+from .dedup import _persist
+
+
+@dataclass(frozen=True)
+class NearDupConfig:
+    shingle_k: int = 5
+    num_perm: int = 32
+    bands: int = 8
+    jaccard_threshold: float = 0.5
+    hash_fn: str = "xxhash64"
+    max_bucket: int = 200
+
+
+@dataclass
+class NearDupState:
+    id_col: str
+    text_col: str
+    cfg: NearDupConfig
+    docs: DataFrame
+    buckets: DataFrame
+    counts: DataFrame
+    edges: DataFrame
+    assign: DataFrame
+    #: cluster ids whose membership changed in the LAST step — the
+    #: delta-proportional upsert set for survivors (init: all clusters)
+    touched_clusters: DataFrame = field(default=None)
+
+
+def _snap(df: DataFrame) -> DataFrame:
+    """Truncate lineage at the state boundary. Each delta builds its plan
+    ON TOP of the previous state's; without truncation the logical plan
+    compounds multiplicatively per batch (buckets_all is referenced by
+    three joins, edges by two, ...) and the SECOND delta already OOMs the
+    driver while stringifying the plan. In production the state lives in
+    parquet between batches (a natural truncation); inside one session
+    localCheckpoint is the equivalent."""
+    return df.localCheckpoint(eager=True)
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingles) — persisted normalization barrier first (the
+    CollapseProject/notes-#16 rule: shingling from an unpersisted
+    normalize re-runs the regex once per shingle position)."""
+    normed = _persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
+        )
+    )
+    return normed.select(
+        "doc_id", char_shingles("_norm", k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def _bucket_rows(shingled: DataFrame, cfg: NearDupConfig) -> DataFrame:
+    """(doc_id, bucket) — identical bucket derivation to
+    dedup.minhash_lsh_dup_pairs (same expressions; the batch-equality
+    test pins them together)."""
+    rows = cfg.num_perm // cfg.bands
+    sig = shingled.select(
+        "doc_id",
+        minhash_signature("shingles", cfg.num_perm, cfg.hash_fn).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys("sig", cfg.bands, rows, cfg.hash_fn)).alias("band"),
+    ).select(
+        "doc_id",
+        F.concat_ws(":", F.col("band.band_id"), F.col("band.band_hash")).alias(
+            "bucket"
+        ),
+    )
+
+
+def _verify(cand: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """jaccard-verify candidate (id1, id2) pairs against true shingle sets."""
+    s1 = shingled.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1.hint("shuffle_hash"), "id1")
+        .join(s2.hint("shuffle_hash"), "id2")
+        .filter(token_jaccard("sh1", "sh2") >= threshold)
+        .select("id1", "id2")
+    )
+
+
+def _cold_pairs(bucket_rows: DataFrame) -> DataFrame:
+    """Canonical candidate pairs from (doc_id, bucket) rows (assumed
+    already restricted to cold buckets)."""
+    left = bucket_rows.select("bucket", F.col("doc_id").alias("id1"))
+    right = bucket_rows.select("bucket", F.col("doc_id").alias("id2"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def near_dup_init(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: NearDupConfig = NearDupConfig(),
+) -> NearDupState:
+    """Batch-build the state from an initial corpus. The edge set is by
+    construction identical to dedup.minhash_lsh_dup_pairs (same bucket
+    derivation, hot-bucket cap, and jaccard verification)."""
+    shingled = _persist(_shingle_rows(docs, id_col, text_col, cfg.shingle_k))
+    buckets = _persist(_bucket_rows(shingled, cfg))
+    counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") > cfg.max_bucket).select("bucket")
+    cold_rows = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    edges = _verify(_cold_pairs(cold_rows), shingled, cfg.jaccard_threshold)
+    assign = connected_components(
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    ).select(F.col("record_id").alias("doc_id"), "cluster_id")
+    buckets, counts, edges, assign = (
+        _snap(buckets),
+        _snap(counts),
+        _snap(edges),
+        _snap(assign),
+    )
+    return NearDupState(
+        id_col=id_col,
+        text_col=text_col,
+        cfg=cfg,
+        docs=docs,
+        buckets=buckets,
+        counts=counts,
+        edges=edges,
+        assign=assign,
+        touched_clusters=assign.select("cluster_id").distinct(),
+    )
+
+
+def near_dup_delta(
+    state: NearDupState, delta_docs: DataFrame, check_new_ids: bool = False
+) -> NearDupState:
+    """Resolve one new crawl batch against the state. Cost is bounded by
+    the delta plus the membership of the buckets it touches (and of
+    buckets it pushes over the cap) — see module docstring for the
+    exactness argument. Returns the NEW state; `touched_clusters` holds
+    the cluster ids whose membership changed (the survivor upsert set)."""
+    cfg, id_col, text_col = state.cfg, state.id_col, state.text_col
+    delta_ids = delta_docs.select(F.col(id_col).alias("doc_id"))
+    if check_new_ids:
+        clash = delta_ids.join(
+            state.docs.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        ).limit(1)
+        if clash.count() > 0:
+            raise ValueError(
+                "near_dup_delta: delta contains ids already in the corpus — "
+                "this operator is append-only (recrawl replacement is the ER "
+                "pipeline's latest_wins delta, not LSH-dedup maintenance)"
+            )
+
+    d_shingled = _persist(
+        _shingle_rows(delta_docs, id_col, text_col, cfg.shingle_k)
+    )
+    d_buckets = _persist(_bucket_rows(d_shingled, cfg))
+    d_counts = d_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_dn"))
+
+    # counts' = counts + delta counts (outer: a delta bucket may be new)
+    counts_new = _persist(
+        state.counts.join(d_counts, "bucket", "full_outer").select(
+            "bucket",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+            ).alias("n"),
+            F.coalesce("n", F.lit(0)).alias("_n_old"),
+        )
+    )
+    hot_now = counts_new.filter(F.col("n") > cfg.max_bucket).select("bucket")
+    # buckets that crossed the cap THIS batch: the only source of
+    # retractions. Born-hot buckets (n_old = 0) cross too but carry no old
+    # edges — they fall out of the removal check naturally.
+    newly_hot = counts_new.filter(
+        (F.col("n") > cfg.max_bucket) & (F.col("_n_old") <= cfg.max_bucket)
+    ).select("bucket")
+
+    buckets_all = _persist(state.buckets.unionByName(d_buckets))
+
+    # --- additions: mine delta-touched cold buckets, keep pairs with a
+    # delta endpoint (old-old pairs there were mined when the bucket was
+    # already cold in an earlier step) ---
+    touched_cold = (
+        d_buckets.select("bucket")
+        .distinct()
+        .join(hot_now, "bucket", "left_anti")
+    )
+    mem_rows = buckets_all.join(F.broadcast(touched_cold), "bucket", "left_semi")
+    cand = _cold_pairs(mem_rows)
+    cand = cand.join(
+        delta_ids.select(F.col("doc_id").alias("id1")), "id1", "left_semi"
+    ).unionByName(
+        cand.join(
+            delta_ids.select(F.col("doc_id").alias("id2")), "id2", "left_semi"
+        )
+    ).dropDuplicates(["id1", "id2"])
+    # shingles for verification: delta side is cached; old endpoints are
+    # recomputed restricted to the candidate membership (bounded by the
+    # touched buckets, not the corpus)
+    old_involved = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .unionByName(cand.select(F.col("id2").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+        .join(delta_ids, "doc_id", "left_anti")
+    )
+    old_shingled = _shingle_rows(
+        state.docs.join(
+            old_involved.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        cfg.shingle_k,
+    )
+    added = _persist(
+        _verify(
+            cand,
+            d_shingled.unionByName(old_shingled),
+            cfg.jaccard_threshold,
+        )
+    )
+
+    # --- retractions: old pairs whose every supporting bucket is now hot.
+    # Such a pair lost a bucket that crossed the cap this batch, so both
+    # endpoints live in a newly-hot bucket — the candidate set is bounded
+    # by newly-hot membership. NOT force-broadcast (notes #34: membership
+    # is bounded by bucket size, not delta size).
+    nh_members = (
+        buckets_all.join(F.broadcast(newly_hot), "bucket", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    at_risk = state.edges.join(
+        nh_members.withColumnRenamed("doc_id", "id1"), "id1", "left_semi"
+    ).join(nh_members.withColumnRenamed("doc_id", "id2"), "id2", "left_semi")
+    b1 = buckets_all.select(F.col("doc_id").alias("id1"), "bucket")
+    b2 = buckets_all.select(F.col("doc_id").alias("id2"), "bucket")
+    supported = (
+        at_risk.join(b1, "id1")
+        .join(b2, ["id2", "bucket"])
+        .join(hot_now, "bucket", "left_anti")
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    removed = _persist(at_risk.join(supported, ["id1", "id2"], "left_anti"))
+
+    edges_new = _persist(
+        state.edges.join(removed, ["id1", "id2"], "left_anti").unionByName(added)
+    )
+
+    # --- CC: star warm-start for untouched clusters, real edges for
+    # clusters a removed edge touched (retraction can split them) ---
+    removed_clusters = (
+        removed.select(F.col("id1").alias("doc_id"))
+        .unionByName(removed.select(F.col("id2").alias("doc_id")))
+        .join(state.assign, "doc_id")
+        .select("cluster_id")
+        .distinct()
+    )
+    assign_flag = state.assign.join(
+        F.broadcast(removed_clusters.withColumnRenamed("cluster_id", "_rc")),
+        state.assign.cluster_id == F.col("_rc"),
+        "left",
+    )
+    star = (
+        assign_flag.filter(F.col("_rc").isNull())
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("cluster_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    hit_members = assign_flag.filter(F.col("_rc").isNotNull()).select("doc_id")
+    real = edges_new.join(
+        hit_members.withColumnRenamed("doc_id", "id1"), "id1", "left_semi"
+    ).unionByName(
+        edges_new.join(
+            hit_members.withColumnRenamed("doc_id", "id2"), "id2", "left_semi"
+        )
+    ).dropDuplicates(["id1", "id2"]).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    cc_in = star.unionByName(real).unionByName(
+        added.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    assign_new = _persist(
+        connected_components(cc_in).select(
+            F.col("record_id").alias("doc_id"), "cluster_id"
+        )
+    )
+
+    # touched clusters: the new and old EFFECTIVE cluster ids of every doc
+    # whose assignment row changed. `assign` stores clustered docs only, so
+    # a missing side means implicit singleton — effective cluster = the
+    # doc's own id (a doc singletoned by a retraction must mark its own-id
+    # cluster as touched or its new row never reaches the upsert). Plus
+    # every delta doc's effective cluster: new-and-singleton docs appear in
+    # neither assignment, yet their rows are new emission rows.
+    changed = state.assign.withColumnRenamed("cluster_id", "_old").join(
+        assign_new, "doc_id", "full_outer"
+    ).filter(
+        F.col("_old").isNull()
+        | F.col("cluster_id").isNull()
+        | (F.col("_old") != F.col("cluster_id"))
+    )
+    delta_effective = delta_ids.join(assign_new, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("c")
+    )
+    touched = (
+        changed.select(F.coalesce("cluster_id", "doc_id").alias("c"))
+        .unionByName(changed.select(F.coalesce("_old", "doc_id").alias("c")))
+        .unionByName(delta_effective)
+        .distinct()
+        .withColumnRenamed("c", "cluster_id")
+    )
+
+    return NearDupState(
+        id_col=id_col,
+        text_col=text_col,
+        cfg=cfg,
+        docs=state.docs.unionByName(delta_docs),
+        buckets=_snap(buckets_all),
+        counts=_snap(counts_new.select("bucket", "n")),
+        edges=_snap(edges_new),
+        assign=_snap(assign_new),
+        touched_clusters=_snap(touched),
+    )
+
+
+def near_dup_emit(state: NearDupState, only_touched: bool = False) -> DataFrame:
+    """The kept corpus from a state — schema-identical to
+    dedup.near_dup_corpus (docs columns + dup_cluster_id + n_merged).
+    `only_touched=True` restricts to survivors of clusters changed by the
+    LAST step — the delta-proportional upsert a recurring pipeline writes
+    instead of rewriting the corpus."""
+    id_col = state.id_col
+    assign = state.assign
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged")
+    )
+    drop_ids = assign.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    survivors = state.docs.join(drop_ids, id_col, "left_anti")
+    canon_info = (
+        assign.filter(F.col("cluster_id") == F.col("doc_id"))
+        .join(sizes, "cluster_id")
+        .withColumnRenamed("doc_id", id_col)
+    )
+    out = survivors.join(canon_info, id_col, "left").select(
+        *[F.col(c) for c in state.docs.columns],
+        F.coalesce("cluster_id", F.col(id_col)).alias("dup_cluster_id"),
+        F.coalesce("n_merged", F.lit(1).cast("long")).alias("n_merged"),
+    )
+    if only_touched:
+        # a USING-column join moves the key first; restore the contract order
+        cols = out.columns
+        out = out.join(
+            F.broadcast(
+                state.touched_clusters.withColumnRenamed(
+                    "cluster_id", "dup_cluster_id"
+                )
+            ),
+            "dup_cluster_id",
+            "left_semi",
+        ).select(*cols)
+    return out
