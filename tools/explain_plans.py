@@ -36,6 +36,15 @@ CHECKS = {
         "must": [],
         "must_not": ["CartesianProduct"],
     },
+    "pairs_tfidf_cosine": {
+        # relational sparse dot product: the df/idf dictionary joins
+        # broadcast; the per-pair term equi-join shuffles on (id, term) —
+        # the scale path. All-native expressions, no Python. (r6: added
+        # while exonerating the r5 wall drift — pins the shape so a future
+        # regression is structural, not inferred from walls.)
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "connected_components": {
         "must": [],
         "must_not": ["CartesianProduct"],
