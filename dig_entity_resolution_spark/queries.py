@@ -2942,6 +2942,24 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+# -- Perceptual image near-dup (multimodal dedup; r6) ------------------------
+
+
+@_q("image_near_dup", None)
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual near-dup pairs over a deterministic planted image corpus
+    (no image fixture exists in /root/testdata, so the corpus is the
+    seeded synth generator — rows-only by design, like the other
+    fixture-free production configs). dHash through the real BMP codec,
+    pigeonhole Hamming banding, distance ≤ 3; the pytest suite pins
+    planted-group recovery for BMP and PNG and banding losslessness vs
+    brute force (tests/test_image_dedup.py)."""
+    from .operators.image_dedup import image_near_dup_pairs, synth_image_corpus
+
+    assets = synth_image_corpus(spark, n_groups=8, group_size=3, n_distinct=40)
+    return image_near_dup_pairs(assets, max_hamming=3, fp_col="dhash")
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

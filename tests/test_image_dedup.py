@@ -1,0 +1,86 @@
+"""Perceptual image near-dup (VERDICT r5 item 5): hash determinism,
+planted-group recovery through the real BMP/PNG decoders, and banded
+blocking losslessness vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dig_entity_resolution_spark.operators.image_dedup import (
+    _bits_to_i64,
+    dhash64,
+    image_near_dup_pairs,
+    image_phash_table,
+    phash64,
+    synth_image_corpus,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_hash_pure_function_properties():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(40, 50, 3)).astype(np.uint8)
+    assert dhash64(img) == dhash64(img.copy())
+    assert phash64(img) == phash64(img.copy())
+    assert _ham(dhash64(img), dhash64(img)) == 0
+    # signed-int64 packing matches Spark LongType wrap
+    assert _bits_to_i64(np.ones(64, dtype=np.uint8)) == -1
+    assert _bits_to_i64(np.zeros(64, dtype=np.uint8)) == 0
+    hi = np.zeros(64, dtype=np.uint8)
+    hi[63] = 1
+    assert _bits_to_i64(hi) == -(1 << 63)
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png"])
+def test_planted_groups_recovered(spark, fmt):
+    """dHash + banded blocking recovers exactly the planted near-dup
+    groups through the real codec for both container formats."""
+    assets = synth_image_corpus(spark, fmt=fmt)
+    pairs = image_near_dup_pairs(
+        assets, max_hamming=3, fp_col="dhash"
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    # every pair is within one planted group; every group is connected
+    assert got, "no near-dup pairs found"
+    assert all(a // 1000 == b // 1000 and a < 900000 for a, b in got)
+    groups = {g: set() for g in range(6)}
+    for a, b in got:
+        groups[a // 1000].update({a, b})
+    for g, members in groups.items():
+        assert members == {g * 1000 + v for v in range(3)}, (g, members)
+
+
+def test_phash_table_skips_undecodable(spark):
+    from dig_entity_resolution_spark.operators.multimodal import synth_assets
+
+    # synth_assets mixes image/audio/video; only images land in the table
+    assets = synth_assets(spark, n=18)
+    tbl = image_phash_table(assets).collect()
+    imgs = {r.asset_id for r in tbl}
+    assert imgs == {i for i in range(18) if i % 3 == 0}
+
+
+def test_banded_blocking_is_lossless_vs_bruteforce(spark):
+    """Pigeonhole check: the banded pHash pairs equal brute-force all-pairs
+    Hamming at the same threshold (max_hamming=8 → 9 bands of 7 bits)."""
+    assets = synth_image_corpus(spark, n_groups=4, n_distinct=12, seed=11)
+    max_h = 8
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in image_near_dup_pairs(
+            assets, max_hamming=max_h, fp_col="phash"
+        ).collect()
+    }
+    fps = {r.asset_id: r.phash for r in image_phash_table(assets).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b, _ham(fps[a], fps[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _ham(fps[a], fps[b]) <= max_h
+    }
+    assert got == want
