@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.minhash import hamming64
-from .multimodal import _PNG_SIG, decode_image_real, encode_bmp, resize_nearest
+from .multimodal import (
+    _decodable_image,
+    decode_image_real,
+    encode_bmp,
+    resize_nearest,
+)
 
 PHASH_BITS = 64
 
@@ -100,7 +105,7 @@ def image_phash_table(assets: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 raw = bytes(payload)
-                if raw[:2] != b"BM" and raw[:8] != _PNG_SIG:
+                if not _decodable_image(raw):
                     continue
                 try:
                     img = decode_image_real(raw)
@@ -218,10 +223,11 @@ def synth_image_corpus(
     asset_id = group * 1000 + variant for planted rows, 900000+i for
     distinct rows — tests recover the planted grouping from id // 1000.
     """
+    from .jpeg_codec import encode_jpeg
     from .multimodal import encode_png
 
     rng = np.random.default_rng(seed)
-    enc = encode_bmp if fmt == "bmp" else encode_png
+    enc = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}[fmt]
     rows = []
     for g in range(n_groups):
         base = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)

@@ -15,7 +15,11 @@ Codec reality in this sandbox (no Pillow/libav):
     all five scanline filters (None/Sub/Up/Average/Paeth) in pure numpy,
     for 8-bit gray/RGB/RGBA non-interlaced. `encode_png` writes 8-bit
     RGB. Round-tripped and filter-exercised in tests.
-  * jpeg/webp/mp3/mp4 genuinely require external codecs;
+  * Baseline JPEG (SOF0, 4:4:4) decodes FOR REAL too (r6): pure-numpy
+    huffman + dequant + IDCT in `operators/jpeg_codec.py`, bomb-bounded
+    like the PNG path, with a pinned deterministic encoder as the
+    fixture source. Progressive/subsampled variants raise ValueError.
+  * webp/mp3/mp4 genuinely require external codecs;
     `decode_image_real` raises NotImplementedError for those, and
     feature extraction falls back to a deterministic byte-histogram so the
     pipeline shape stays exercised end-to-end.
@@ -278,18 +282,35 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
+_JPEG_SOI = b"\xff\xd8"
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode an image payload. BMP and PNG decode for real (pure
-    numpy; PNG inflates via stdlib zlib); jpeg/webp genuinely need codec
-    libraries absent from this sandbox."""
+    """Decode an image payload. BMP, PNG, and baseline JPEG decode for
+    real (pure numpy; PNG inflates via stdlib zlib; JPEG is the SOF0
+    4:4:4 huffman+IDCT decoder in operators/jpeg_codec.py — r6); webp
+    genuinely needs codec libraries absent from this sandbox."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == _JPEG_SOI:
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed image decode (jpeg/webp) requires an imaging "
-        "library not present in this environment; BMP and PNG decode "
+        "compressed image decode (webp) requires an imaging library not "
+        "present in this environment; BMP, PNG, and baseline JPEG decode "
         "natively"
+    )
+
+
+def _decodable_image(payload: bytes) -> bool:
+    """Magic-byte gate shared by the feature/thumbnail/phash stages."""
+    return (
+        payload[:2] == b"BM"
+        or payload[:8] == _PNG_SIG
+        or payload[:2] == _JPEG_SOI
     )
 
 
@@ -344,9 +365,7 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def _features_for(kind: str, mime: str | None, payload: bytes | None) -> np.ndarray:
     try:
-        if payload and kind == "image" and (
-            payload[:2] == b"BM" or payload[:8] == _PNG_SIG
-        ):
+        if payload and kind == "image" and _decodable_image(payload):
             return _image_features(decode_image_real(payload))
         if payload and kind == "audio" and payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
@@ -392,10 +411,7 @@ def thumbnail_images(assets: DataFrame, out_h: int = 16, out_w: int = 16) -> Dat
         for pdf in batches:
             ids, thumbs = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None or (
-                    bytes(payload[:2]) != b"BM"
-                    and bytes(payload[:8]) != _PNG_SIG
-                ):
+                if payload is None or not _decodable_image(bytes(payload[:8])):
                     continue
                 try:
                     img = decode_image_real(bytes(payload))

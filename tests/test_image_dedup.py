@@ -35,13 +35,23 @@ def test_hash_pure_function_properties():
     assert _bits_to_i64(hi) == -(1 << 63)
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png"])
-def test_planted_groups_recovered(spark, fmt):
-    """dHash + banded blocking recovers exactly the planted near-dup
-    groups through the real codec for both container formats."""
+@pytest.mark.parametrize(
+    ("fmt", "fp_col", "max_h"),
+    [
+        ("bmp", "dhash", 3),
+        ("png", "dhash", 3),
+        # jpeg is LOSSY: quantization perturbs low frequencies, so planted
+        # within-group pHash distances reach 6 (cross-group stays ≥ 18) —
+        # wider threshold, pHash (resize/noise-robust by construction)
+        ("jpeg", "phash", 8),
+    ],
+)
+def test_planted_groups_recovered(spark, fmt, fp_col, max_h):
+    """Perceptual hashing + banded blocking recovers exactly the planted
+    near-dup groups through the real codec for all three formats."""
     assets = synth_image_corpus(spark, fmt=fmt)
     pairs = image_near_dup_pairs(
-        assets, max_hamming=3, fp_col="dhash"
+        assets, max_hamming=max_h, fp_col=fp_col
     ).collect()
     got = {(r.id1, r.id2) for r in pairs}
     # every pair is within one planted group; every group is connected

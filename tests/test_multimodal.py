@@ -50,11 +50,14 @@ def test_decode_image_real_bmp_yes_compressed_no():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     assert decode_image_real(encode_bmp(img)).shape == (4, 4, 3)
     # r5: PNG now decodes FOR REAL (stdlib zlib) — a bare signature is a
-    # MALFORMED png (ValueError), while jpeg stays honestly gated
+    # MALFORMED png (ValueError); r6: jpeg decodes for real too, so a
+    # truncated jpeg is malformed (ValueError) and only webp stays gated
     with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 # -- Spark-side stages ---------------------------------------------------------
@@ -212,8 +215,8 @@ def test_png_unsupported_variants_raise():
 
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\xff\xd8\xff\xe0 not png")
-    # jpeg still honestly gated
-    with _pytest.raises(NotImplementedError, match="jpeg"):
+    # r6: jpeg decodes for real — truncated stream is malformed
+    with _pytest.raises(ValueError, match="JPEG"):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
