@@ -120,6 +120,82 @@ def _bench_queries(spark) -> tuple[dict, dict, dict]:
     return total, construct, execute
 
 
+def _bench_incremental_near_dup(spark) -> dict:
+    """VERDICT r5 item 4 evidence: resolving a FIXED-SIZE crawl batch
+    against the kept corpus must cost ~the delta, not the corpus. Measured
+    as: same 100-doc delta against a 1x corpus (sf0.1 documents) and a 10x
+    corpus (10 vowel-permuted replicas — permutation keeps each replica's
+    internal dup structure but makes replicas mutually non-near-dup, so
+    density is constant across scales). Batch = re-running near_dup_corpus
+    over everything, the cost a non-incremental pipeline pays per batch."""
+    import functools
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from dig_entity_resolution_spark.operators.dedup import (
+        near_dup_corpus,
+        release_caches,
+    )
+    from dig_entity_resolution_spark.operators.dedup_incremental import (
+        near_dup_delta,
+        near_dup_init,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    # warmup: absorb codegen/first-shuffle session costs so corpus_1x
+    # (measured first) isn't charged for them
+    warm = docs.limit(60)
+    near_dup_corpus(warm).write.format("noop").mode("overwrite").save()
+    release_caches()
+    near_dup_delta(near_dup_init(warm), docs.limit(80).join(
+        warm.select("doc_id"), "doc_id", "left_anti"))
+    release_caches()
+    vowels = "etaoins"
+    out: dict = {}
+    for label, k in (("corpus_1x", 1), ("corpus_10x", 10)):
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+                F.translate("text", vowels, vowels[i:] + vowels[:i]).alias(
+                    "text"
+                ),
+            )
+            for i in range(k)
+        ]
+        all_docs = functools.reduce(_DF.unionByName, reps)
+        delta = all_docs.orderBy("doc_id").limit(100)
+        corpus = all_docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+        t0 = time.time()
+        near_dup_corpus(all_docs).write.format("noop").mode("overwrite").save()
+        batch_wall = time.time() - t0
+        release_caches()
+        t0 = time.time()
+        st = near_dup_init(corpus)  # eager localCheckpoint — wall is real
+        init_wall = time.time() - t0
+        t0 = time.time()
+        near_dup_delta(st, delta)
+        delta_wall = time.time() - t0
+        release_caches()
+        out[label] = {
+            "n_docs": all_docs.count(),
+            "batch_rededup_sec": round(batch_wall, 3),
+            "state_init_sec": round(init_wall, 3),
+            "delta_100docs_sec": round(delta_wall, 3),
+        }
+    b1, b10 = out["corpus_1x"], out["corpus_10x"]
+    out["batch_scaleup"] = round(
+        b10["batch_rededup_sec"] / b1["batch_rededup_sec"], 2
+    )
+    out["delta_scaleup"] = round(
+        b10["delta_100docs_sec"] / b1["delta_100docs_sec"], 2
+    )
+    return out
+
+
 def _ensure_corpus() -> str:
     from dig_entity_resolution_spark.synth import generate_corpus
 
@@ -241,6 +317,8 @@ def main() -> None:
     result["queries"] = total  # honest end-to-end wall (r5 convention)
     result["queries_construct"] = construct
     result["queries_exec"] = execute  # cross-round-comparable series
+    if not FAST:
+        result["incr_near_dup"] = _bench_incremental_near_dup(spark)
     spark.stop()
     # CPU-control sample taken in the same minutes as part 1: cross-round
     # part-1 comparisons divide by this to cancel shared-VM drift (the r2

@@ -4,7 +4,7 @@
 pipeline would re-deduplicate the whole corpus every batch. This module
 maintains the SAME end product incrementally: resolve a new crawl batch
 against existing state with cost proportional to the delta and the
-buckets it touches — never to the corpus.
+buckets/clusters it touches — never to the corpus.
 
 Why this is exact (the append-only LSH algebra):
   * A doc's bucket keys are a pure per-doc function — adding docs never
@@ -20,19 +20,32 @@ Why this is exact (the append-only LSH algebra):
     every supporting bucket is now hot must be dropped. Affected pairs
     necessarily have BOTH endpoints in a newly-hot bucket, so the
     re-check is bounded by newly-hot-bucket membership, not corpus size.
-  * Retraction breaks the star warm-start invariant (notes #19) exactly
-    within the clusters a removed edge touched — those clusters re-derive
-    from their REAL remaining edges; every other cluster enters CC as its
-    2-level star (O(1) rounds for local change).
+  * Connectivity re-derives ONLY inside the clusters an added or removed
+    edge touches (adding/removing edges cannot change the connectivity
+    of a component none of whose members gained or lost an edge) —
+    every other doc keeps its assignment row verbatim. This replaced the
+    r6-draft star warm start, whose CC pass over every cluster's star
+    edges was O(corpus) per batch and dominated the measured delta wall.
 
-State tables (caller persists/checkpoints them between batches; at
-100 TB each is a parquet table, `buckets`/`counts` bucketed BY the
-bucket key so the delta's semi-joins prune storage partitions instead
-of scanning the corpus):
+State layout (delta-proportional IN-SESSION too, r6 profiling): each
+table is a lazy UNION of lineage-truncated segments — a batch snaps
+(localCheckpoint) only its NEW rows and stacks them on the existing
+checkpointed leaves, so per-batch materialization is O(delta + touched),
+not O(corpus). Rewrites (counts of touched buckets, retracted edges,
+reassigned docs) stack as broadcast anti-joins over the old leaves. Plan
+depth therefore grows linearly with batch count; call
+`NearDupState.compact()` periodically (LSM-style) to fold the segments
+back into single leaves. At 100 TB the state lives in parquet bucketed
+BY the bucket/cluster key and each batch MERGEs only touched partitions
+— the same shape.
+
+State tables:
   docs    — every doc seen so far (id + passthrough columns)
   buckets — (doc_id, bucket), UNCAPPED (hot rows included: they are the
             support-check index)
   counts  — (bucket, n)
+  hot     — (bucket) with n > max_bucket (cached so the hot-path checks
+            never rescan counts)
   edges   — (id1, id2) verified near-dup pairs, id1 < id2
   assign  — (doc_id, cluster_id) for clustered docs (singletons implicit)
 
@@ -44,7 +57,7 @@ one semi-join.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,21 +87,31 @@ class NearDupState:
     docs: DataFrame
     buckets: DataFrame
     counts: DataFrame
+    hot: DataFrame
     edges: DataFrame
     assign: DataFrame
     #: cluster ids whose membership changed in the LAST step — the
     #: delta-proportional upsert set for survivors (init: all clusters)
     touched_clusters: DataFrame = field(default=None)
 
+    def compact(self) -> "NearDupState":
+        """Fold each table's segment stack back into one checkpointed
+        leaf (the in-session analogue of an LSM compaction / parquet
+        rewrite). O(corpus) — run periodically, not per batch."""
+        return replace(
+            self,
+            buckets=_snap(self.buckets),
+            counts=_snap(self.counts),
+            hot=_snap(self.hot),
+            edges=_snap(self.edges),
+            assign=_snap(self.assign),
+        )
+
 
 def _snap(df: DataFrame) -> DataFrame:
-    """Truncate lineage at the state boundary. Each delta builds its plan
-    ON TOP of the previous state's; without truncation the logical plan
-    compounds multiplicatively per batch (buckets_all is referenced by
-    three joins, edges by two, ...) and the SECOND delta already OOMs the
-    driver while stringifying the plan. In production the state lives in
-    parquet between batches (a natural truncation); inside one session
-    localCheckpoint is the equivalent."""
+    """Truncate lineage at a segment boundary. Only NEW/SMALL pieces are
+    snapped per batch (see module docstring); snapping whole state tables
+    per delta would re-copy the corpus every batch."""
     return df.localCheckpoint(eager=True)
 
 
@@ -151,6 +174,14 @@ def _cold_pairs(bucket_rows: DataFrame) -> DataFrame:
     )
 
 
+def _endpoints(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+    )
+
+
 def near_dup_init(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -169,9 +200,10 @@ def near_dup_init(
     assign = connected_components(
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     ).select(F.col("record_id").alias("doc_id"), "cluster_id")
-    buckets, counts, edges, assign = (
+    buckets, counts, hot, edges, assign = (
         _snap(buckets),
         _snap(counts),
+        _snap(hot),
         _snap(edges),
         _snap(assign),
     )
@@ -182,6 +214,7 @@ def near_dup_init(
         docs=docs,
         buckets=buckets,
         counts=counts,
+        hot=hot,
         edges=edges,
         assign=assign,
         touched_clusters=assign.select("cluster_id").distinct(),
@@ -192,10 +225,10 @@ def near_dup_delta(
     state: NearDupState, delta_docs: DataFrame, check_new_ids: bool = False
 ) -> NearDupState:
     """Resolve one new crawl batch against the state. Cost is bounded by
-    the delta plus the membership of the buckets it touches (and of
-    buckets it pushes over the cap) — see module docstring for the
-    exactness argument. Returns the NEW state; `touched_clusters` holds
-    the cluster ids whose membership changed (the survivor upsert set)."""
+    the delta plus the membership of the buckets and clusters it touches
+    (see module docstring for the exactness argument). Returns the NEW
+    state; `touched_clusters` holds the cluster ids whose membership
+    changed (the survivor upsert set)."""
     cfg, id_col, text_col = state.cfg, state.id_col, state.text_col
     delta_ids = delta_docs.select(F.col(id_col).alias("doc_id"))
     if check_new_ids:
@@ -212,37 +245,38 @@ def near_dup_delta(
     d_shingled = _persist(
         _shingle_rows(delta_docs, id_col, text_col, cfg.shingle_k)
     )
-    d_buckets = _persist(_bucket_rows(d_shingled, cfg))
+    d_buckets = _snap(_bucket_rows(d_shingled, cfg))
     d_counts = d_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_dn"))
 
-    # counts' = counts + delta counts (outer: a delta bucket may be new)
-    counts_new = _persist(
-        state.counts.join(d_counts, "bucket", "full_outer").select(
+    # counts of TOUCHED buckets only: old rows for those buckets stream
+    # out of the checkpointed leaves via a broadcast semi-join (no shuffle
+    # of the corpus side; at 100 TB the bucketed parquet layout prunes the
+    # scan to touched partitions as well)
+    old_touched = state.counts.join(
+        F.broadcast(d_counts.select("bucket")), "bucket", "left_semi"
+    )
+    updated = _snap(
+        d_counts.join(old_touched, "bucket", "left").select(
             "bucket",
-            (
-                F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))
-            ).alias("n"),
+            (F.coalesce("n", F.lit(0)) + F.col("_dn")).alias("n"),
             F.coalesce("n", F.lit(0)).alias("_n_old"),
         )
     )
-    hot_now = counts_new.filter(F.col("n") > cfg.max_bucket).select("bucket")
     # buckets that crossed the cap THIS batch: the only source of
     # retractions. Born-hot buckets (n_old = 0) cross too but carry no old
     # edges — they fall out of the removal check naturally.
-    newly_hot = counts_new.filter(
+    newly_hot = updated.filter(
         (F.col("n") > cfg.max_bucket) & (F.col("_n_old") <= cfg.max_bucket)
     ).select("bucket")
+    # hot set only grows under append-only (counts never decrease)
+    hot_now = state.hot.unionByName(newly_hot)
 
-    buckets_all = _persist(state.buckets.unionByName(d_buckets))
+    buckets_all = state.buckets.unionByName(d_buckets)
 
     # --- additions: mine delta-touched cold buckets, keep pairs with a
     # delta endpoint (old-old pairs there were mined when the bucket was
     # already cold in an earlier step) ---
-    touched_cold = (
-        d_buckets.select("bucket")
-        .distinct()
-        .join(hot_now, "bucket", "left_anti")
-    )
+    touched_cold = updated.filter(F.col("n") <= cfg.max_bucket).select("bucket")
     mem_rows = buckets_all.join(F.broadcast(touched_cold), "bucket", "left_semi")
     cand = _cold_pairs(mem_rows)
     cand = cand.join(
@@ -255,12 +289,7 @@ def near_dup_delta(
     # shingles for verification: delta side is cached; old endpoints are
     # recomputed restricted to the candidate membership (bounded by the
     # touched buckets, not the corpus)
-    old_involved = (
-        cand.select(F.col("id1").alias("doc_id"))
-        .unionByName(cand.select(F.col("id2").alias("doc_id")))
-        .dropDuplicates(["doc_id"])
-        .join(delta_ids, "doc_id", "left_anti")
-    )
+    old_involved = _endpoints(cand).join(delta_ids, "doc_id", "left_anti")
     old_shingled = _shingle_rows(
         state.docs.join(
             old_involved.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
@@ -269,7 +298,7 @@ def near_dup_delta(
         text_col,
         cfg.shingle_k,
     )
-    added = _persist(
+    added = _snap(
         _verify(
             cand,
             d_shingled.unionByName(old_shingled),
@@ -299,65 +328,65 @@ def near_dup_delta(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    removed = _persist(at_risk.join(supported, ["id1", "id2"], "left_anti"))
+    removed = _snap(at_risk.join(supported, ["id1", "id2"], "left_anti"))
 
-    edges_new = _persist(
-        state.edges.join(removed, ["id1", "id2"], "left_anti").unionByName(added)
-    )
+    edges_new = state.edges.join(
+        F.broadcast(removed), ["id1", "id2"], "left_anti"
+    ).unionByName(added)
 
-    # --- CC: star warm-start for untouched clusters, real edges for
-    # clusters a removed edge touched (retraction can split them) ---
-    removed_clusters = (
-        removed.select(F.col("id1").alias("doc_id"))
-        .unionByName(removed.select(F.col("id2").alias("doc_id")))
-        .join(state.assign, "doc_id")
+    # --- connectivity: re-derive ONLY the affected subgraph — members of
+    # any cluster containing an endpoint of an added/removed edge, plus
+    # the endpoints themselves (delta docs / old singletons gaining their
+    # first edge have no cluster row yet). Every other assignment row is
+    # carried over verbatim; CC cost is bounded by affected membership.
+    changed_docs = _endpoints(added.unionByName(removed))
+    hit_clusters = (
+        changed_docs.join(state.assign, "doc_id")
         .select("cluster_id")
         .distinct()
     )
-    assign_flag = state.assign.join(
-        F.broadcast(removed_clusters.withColumnRenamed("cluster_id", "_rc")),
-        state.assign.cluster_id == F.col("_rc"),
-        "left",
+    hit_members = state.assign.join(
+        F.broadcast(hit_clusters), "cluster_id", "left_semi"
+    ).select("doc_id")
+    affected = _snap(
+        hit_members.unionByName(changed_docs).dropDuplicates(["doc_id"])
     )
-    star = (
-        assign_flag.filter(F.col("_rc").isNull())
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select(F.col("cluster_id").alias("src"), F.col("doc_id").alias("dst"))
+    aff1 = affected.withColumnRenamed("doc_id", "id1")
+    aff2 = affected.withColumnRenamed("doc_id", "id2")
+    # an old edge with one affected endpoint lies inside a hit cluster,
+    # so both its endpoints are affected; the two semi-joins are belt and
+    # braces for the added-edge case
+    cc_edges = (
+        edges_new.join(F.broadcast(aff1), "id1", "left_semi")
+        .unionByName(edges_new.join(F.broadcast(aff2), "id2", "left_semi"))
+        .dropDuplicates(["id1", "id2"])
     )
-    hit_members = assign_flag.filter(F.col("_rc").isNotNull()).select("doc_id")
-    real = edges_new.join(
-        hit_members.withColumnRenamed("doc_id", "id1"), "id1", "left_semi"
-    ).unionByName(
-        edges_new.join(
-            hit_members.withColumnRenamed("doc_id", "id2"), "id2", "left_semi"
-        )
-    ).dropDuplicates(["id1", "id2"]).select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    assign_touched = _snap(
+        connected_components(
+            cc_edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        ).select(F.col("record_id").alias("doc_id"), "cluster_id")
     )
-    cc_in = star.unionByName(real).unionByName(
-        added.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    )
-    assign_new = _persist(
-        connected_components(cc_in).select(
-            F.col("record_id").alias("doc_id"), "cluster_id"
-        )
-    )
+    assign_new = state.assign.join(
+        F.broadcast(affected), "doc_id", "left_anti"
+    ).unionByName(assign_touched)
 
-    # touched clusters: the new and old EFFECTIVE cluster ids of every doc
-    # whose assignment row changed. `assign` stores clustered docs only, so
-    # a missing side means implicit singleton — effective cluster = the
-    # doc's own id (a doc singletoned by a retraction must mark its own-id
-    # cluster as touched or its new row never reaches the upsert). Plus
-    # every delta doc's effective cluster: new-and-singleton docs appear in
-    # neither assignment, yet their rows are new emission rows.
-    changed = state.assign.withColumnRenamed("cluster_id", "_old").join(
-        assign_new, "doc_id", "full_outer"
+    # touched clusters: the new and old EFFECTIVE cluster ids of every
+    # affected doc whose assignment row changed. `assign` stores clustered
+    # docs only, so a missing side means implicit singleton — effective
+    # cluster = the doc's own id (a doc singletoned by a retraction must
+    # mark its own-id cluster as touched or its new row never reaches the
+    # upsert). Plus every delta doc's effective cluster: new-and-singleton
+    # docs appear in neither assignment, yet their rows are new emission
+    # rows. All inputs here are already affected/delta-bounded.
+    old_aff = state.assign.join(F.broadcast(affected), "doc_id", "left_semi")
+    changed = old_aff.withColumnRenamed("cluster_id", "_old").join(
+        assign_touched, "doc_id", "full_outer"
     ).filter(
         F.col("_old").isNull()
         | F.col("cluster_id").isNull()
         | (F.col("_old") != F.col("cluster_id"))
     )
-    delta_effective = delta_ids.join(assign_new, "doc_id", "left").select(
+    delta_effective = delta_ids.join(assign_touched, "doc_id", "left").select(
         F.coalesce("cluster_id", "doc_id").alias("c")
     )
     touched = (
@@ -368,15 +397,20 @@ def near_dup_delta(
         .withColumnRenamed("c", "cluster_id")
     )
 
+    counts_new = state.counts.join(
+        F.broadcast(updated.select("bucket")), "bucket", "left_anti"
+    ).unionByName(updated.select("bucket", "n"))
+
     return NearDupState(
         id_col=id_col,
         text_col=text_col,
         cfg=cfg,
         docs=state.docs.unionByName(delta_docs),
-        buckets=_snap(buckets_all),
-        counts=_snap(counts_new.select("bucket", "n")),
-        edges=_snap(edges_new),
-        assign=_snap(assign_new),
+        buckets=buckets_all,
+        counts=counts_new,
+        hot=hot_now,
+        edges=edges_new,
+        assign=assign_new,
         touched_clusters=_snap(touched),
     )
 
