@@ -333,6 +333,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2) — skip
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (size,) = struct.unpack_from(">H", payload, pos + 2)
@@ -396,9 +399,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h, w, comps = sof
     if h == 0 or w == 0:
         raise ValueError("invalid JPEG dimensions (zero)")
-    if h * w * 3 > _JPEG_MAX_BYTES:
+    # cap counts the DECODE-TIME footprint (float64 planes, 8 B/sample),
+    # not the nominal uint8 pixel bytes — otherwise a maximal declaration
+    # allocates 8x the cap before the output cast
+    if h * w * 3 * 8 > _JPEG_MAX_BYTES:
         raise ValueError(
-            f"JPEG declares {w}x{h}x3 bytes, over the {_JPEG_MAX_BYTES}-byte cap"
+            f"JPEG declares {w}x{h}x3 samples, over the "
+            f"{_JPEG_MAX_BYTES}-byte decode cap"
         )
     if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
         raise ValueError("unsupported component layout")

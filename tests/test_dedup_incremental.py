@@ -115,6 +115,22 @@ def test_touched_cluster_upsert_reconstructs_full_emission(spark, cfg):
     release_caches()
 
 
+def test_compact_preserves_emission(spark, cfg):
+    """compact() folds the segment stacks into single leaves without
+    changing any table's contents — emission identical, deltas still
+    apply on top of a compacted state."""
+    rows = _docs()
+    st = near_dup_init(spark.createDataFrame(rows[:20], COLS), cfg=cfg)
+    st = near_dup_delta(st, spark.createDataFrame(rows[20:25], COLS))
+    before = _emit_rows(near_dup_emit(st))
+    stc = st.compact()
+    assert _emit_rows(near_dup_emit(stc)) == before
+    a = _emit_rows(near_dup_emit(near_dup_delta(st, spark.createDataFrame(rows[25:], COLS))))
+    b = _emit_rows(near_dup_emit(near_dup_delta(stc, spark.createDataFrame(rows[25:], COLS))))
+    assert a == b
+    release_caches()
+
+
 def test_delta_rejects_existing_ids(spark, cfg):
     rows = _docs()
     st = near_dup_init(spark.createDataFrame(rows[:10], COLS), cfg=cfg)

@@ -98,6 +98,15 @@ def test_dimension_bomb_rejected_before_allocation():
         decode_jpeg(bytes(b))
 
 
+def test_fill_bytes_between_markers_accepted():
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good = encode_jpeg(img)
+    # inject legal 0xFF fill bytes before the SOF0 marker (T.81 B.1.1.2)
+    i = good.find(b"\xff\xc0")
+    padded = good[:i] + b"\xff\xff" + good[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
 def test_unsupported_variants_rejected():
     good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
