@@ -139,6 +139,7 @@ def _bench_incremental_near_dup(spark) -> dict:
     )
     from dig_entity_resolution_spark.operators.dedup_incremental import (
         near_dup_delta,
+        near_dup_emit,
         near_dup_init,
     )
 
@@ -166,9 +167,19 @@ def _bench_incremental_near_dup(spark) -> dict:
             )
             for i in range(k)
         ]
-        all_docs = functools.reduce(_DF.unionByName, reps)
-        delta = all_docs.orderBy("doc_id").limit(100)
-        corpus = all_docs.join(delta.select("doc_id"), "doc_id", "left_anti")
+        # Materialize the synthetic corpus ONCE (r6 run-1 lesson: leaving
+        # these as lazy translate-union plans meant every state scan inside
+        # near_dup_delta re-derived the 10x corpus from scratch — the
+        # measured "delta cost" was dominated by harness recompute, not the
+        # operator; delta_scaleup read 6.37. A real pipeline's state.docs
+        # is parquet on disk — localCheckpoint is the in-session analogue).
+        all_docs = functools.reduce(_DF.unionByName, reps).localCheckpoint(
+            eager=True
+        )
+        delta = all_docs.orderBy("doc_id").limit(100).localCheckpoint(eager=True)
+        corpus = all_docs.join(
+            delta.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
         t0 = time.time()
         near_dup_corpus(all_docs).write.format("noop").mode("overwrite").save()
         batch_wall = time.time() - t0
@@ -177,14 +188,20 @@ def _bench_incremental_near_dup(spark) -> dict:
         st = near_dup_init(corpus)  # eager localCheckpoint — wall is real
         init_wall = time.time() - t0
         t0 = time.time()
-        near_dup_delta(st, delta)
+        st2 = near_dup_delta(st, delta)
         delta_wall = time.time() - t0
+        t0 = time.time()
+        near_dup_emit(st2, only_touched=True).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        upsert_wall = time.time() - t0
         release_caches()
         out[label] = {
             "n_docs": all_docs.count(),
             "batch_rededup_sec": round(batch_wall, 3),
             "state_init_sec": round(init_wall, 3),
             "delta_100docs_sec": round(delta_wall, 3),
+            "upsert_emit_sec": round(upsert_wall, 3),
         }
     b1, b10 = out["corpus_1x"], out["corpus_10x"]
     out["batch_scaleup"] = round(

@@ -279,13 +279,17 @@ def near_dup_delta(
     touched_cold = updated.filter(F.col("n") <= cfg.max_bucket).select("bucket")
     mem_rows = buckets_all.join(F.broadcast(touched_cold), "bucket", "left_semi")
     cand = _cold_pairs(mem_rows)
-    cand = cand.join(
-        delta_ids.select(F.col("doc_id").alias("id1")), "id1", "left_semi"
-    ).unionByName(
+    cand = _snap(  # referenced by the verify join AND the endpoint set
         cand.join(
-            delta_ids.select(F.col("doc_id").alias("id2")), "id2", "left_semi"
+            delta_ids.select(F.col("doc_id").alias("id1")), "id1", "left_semi"
         )
-    ).dropDuplicates(["id1", "id2"])
+        .unionByName(
+            cand.join(
+                delta_ids.select(F.col("doc_id").alias("id2")), "id2", "left_semi"
+            )
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
     # shingles for verification: delta side is cached; old endpoints are
     # recomputed restricted to the candidate membership (bounded by the
     # touched buckets, not the corpus)
@@ -298,13 +302,16 @@ def near_dup_delta(
         text_col,
         cfg.shingle_k,
     )
-    added = _snap(
-        _verify(
-            cand,
-            d_shingled.unionByName(old_shingled),
-            cfg.jaccard_threshold,
-        )
-    )
+    # MATERIALIZE the (delta-bounded) verification shingle table before the
+    # jaccard join. _shingle_rows' persist barrier covers only the
+    # normalized TEXT — the shingle arrays are built by an interpreted
+    # higher-order transform that token_jaccard references twice
+    # (intersect + union), so an unmaterialized table re-derives every
+    # array per reference inside the filter: measured 60s vs 0.2s for the
+    # ~1.5k involved docs at the bench's 1x corpus (notes #45, the delta
+    # twin of notes #16's CollapseProject rule).
+    ver_shingled = _snap(d_shingled.unionByName(old_shingled))
+    added = _snap(_verify(cand, ver_shingled, cfg.jaccard_threshold))
 
     # --- retractions: old pairs whose every supporting bucket is now hot.
     # Such a pair lost a bucket that crossed the cap this batch, so both
@@ -422,34 +429,42 @@ def near_dup_emit(state: NearDupState, only_touched: bool = False) -> DataFrame:
     LAST step — the delta-proportional upsert a recurring pipeline writes
     instead of rewriting the corpus."""
     id_col = state.id_col
-    assign = state.assign
+    docs, assign = state.docs, state.assign
+    if only_touched:
+        # Every emitted row has dup_cluster_id == its own doc_id: drop_ids
+        # removes every non-canonical member, and CC cluster ids are member
+        # ids, so each survivor is its cluster's canonical doc (or an
+        # implicit singleton). The touched-cluster restriction is therefore
+        # a doc_id restriction — push it to the SCANS instead of filtering
+        # after corpus-wide joins (the r6 draft ran the sizes groupBy over
+        # the FULL assign and scanned full docs per upsert: O(corpus) per
+        # batch). `assign` prunes to touched clusters, which keeps every
+        # membership row of any cluster that can reach the output, so
+        # drop/size semantics below are unchanged (equality pinned by
+        # test_incremental_near_dup). At 100 TB, docs bucketed by id and
+        # assign bucketed by cluster_id make both semi-joins
+        # partition-pruned merges.
+        tc = state.touched_clusters
+        docs = docs.join(
+            F.broadcast(tc.withColumnRenamed("cluster_id", id_col)),
+            id_col,
+            "left_semi",
+        )
+        assign = assign.join(F.broadcast(tc), "cluster_id", "left_semi")
     sizes = assign.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_merged")
     )
     drop_ids = assign.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    survivors = state.docs.join(drop_ids, id_col, "left_anti")
+    survivors = docs.join(drop_ids, id_col, "left_anti")
     canon_info = (
         assign.filter(F.col("cluster_id") == F.col("doc_id"))
         .join(sizes, "cluster_id")
         .withColumnRenamed("doc_id", id_col)
     )
-    out = survivors.join(canon_info, id_col, "left").select(
+    return survivors.join(canon_info, id_col, "left").select(
         *[F.col(c) for c in state.docs.columns],
         F.coalesce("cluster_id", F.col(id_col)).alias("dup_cluster_id"),
         F.coalesce("n_merged", F.lit(1).cast("long")).alias("n_merged"),
     )
-    if only_touched:
-        # a USING-column join moves the key first; restore the contract order
-        cols = out.columns
-        out = out.join(
-            F.broadcast(
-                state.touched_clusters.withColumnRenamed(
-                    "cluster_id", "dup_cluster_id"
-                )
-            ),
-            "dup_cluster_id",
-            "left_semi",
-        ).select(*cols)
-    return out

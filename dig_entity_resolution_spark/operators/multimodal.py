@@ -19,10 +19,13 @@ Codec reality in this sandbox (no Pillow/libav):
     huffman + dequant + IDCT in `operators/jpeg_codec.py`, bomb-bounded
     like the PNG path, with a pinned deterministic encoder as the
     fixture source. Progressive/subsampled variants raise ValueError.
-  * webp/mp3/mp4 genuinely require external codecs;
-    `decode_image_real` raises NotImplementedError for those, and
-    feature extraction falls back to a deterministic byte-histogram so the
-    pipeline shape stays exercised end-to-end.
+  * mp4/mp3 CONTAINERS parse for real (r6, operators/media_container.py):
+    ISO-BMFF sample tables and MPEG audio framing are pure binary specs —
+    frame sampling extracts the actual coded frame bytes at each tick.
+    The coded bytes themselves (VP8/H.264/MDCT) are the remaining codec
+    gate, alongside webp: `decode_image_real` raises NotImplementedError
+    there, and feature extraction falls back to a deterministic
+    byte-histogram so the pipeline shape stays exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .media_container import mux_mp4
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -449,8 +454,9 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fixture assets with REAL payloads where the codec is
     real: images are valid 24-bit BMPs (gradient + seeded noise), audio is
-    valid mono 16-bit PCM WAV (sine + seeded noise); video payloads stay
-    opaque bytes (compressed-container decode is sandbox-gated)."""
+    valid mono 16-bit PCM WAV (sine + seeded noise); video payloads are
+    valid minimal MP4 containers whose coded frame BYTES are opaque (the
+    codec is the sandbox gate, the container is not)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -473,10 +479,17 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = encode_wav((wave * 32767).astype(np.int16))
             width, height, dur = None, None, int(dur_s * 1000)
         else:
-            payload = rng.integers(0, 256, size=256 + (i % 7) * 64).astype(
-                np.uint8
-            ).tobytes()
-            width, height, dur = None, None, (i % 5 + 1) * 1500
+            # real minimal MP4 container (r6): 100 ms coded frames of
+            # deterministic opaque bytes — the container parses for real
+            # (operators/media_container.py), only the codec stays gated
+            dur = (i % 5 + 1) * 1500
+            frames = [
+                rng.integers(0, 256, size=48 + (i + j) % 64, dtype=np.uint8)
+                .tobytes()
+                for j in range(dur // 100)
+            ]
+            payload = mux_mp4(frames)
+            width, height = None, None
         mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append((i, kind, payload, mime, width, height, dur))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -2960,6 +2960,36 @@ def q_image_near_dup(spark, sf_dir):
     return image_near_dup_pairs(assets, max_hamming=3, fp_col="dhash")
 
 
+# -- Media container layer (r6) ----------------------------------------------
+
+
+@_q("media_stream_info", None)
+def q_media_stream_info(spark, sf_dir):
+    """Container-level stats per video/audio asset — ISO-BMFF sample-table
+    and MPEG-audio framing parse (operators/media_container.py), real
+    binary parsing of public specs with only the codec decode gated.
+    Rows-only by design: no media fixture exists in /root/testdata, so the
+    corpus is the seeded synth generator; exactness is pinned by the
+    mux→parse roundtrip tests (tests/test_media_container.py)."""
+    from .operators.media_container import media_stream_info
+    from .operators.multimodal import synth_assets
+
+    return media_stream_info(synth_assets(spark, n=48))
+
+
+@_q("video_frame_samples", None)
+def q_video_frame_samples(spark, sf_dir):
+    """REAL video frame sampling: per sampling tick, the coded frame bytes
+    the MP4 container addresses at that instant (mapInPandas over the
+    binary column; byte-exactness vs the container index is pinned in
+    tests/test_media_container.py). Rows-only by design, same fixture
+    reasoning as media_stream_info."""
+    from .operators.media_container import video_frame_samples
+    from .operators.multimodal import synth_assets
+
+    return video_frame_samples(synth_assets(spark, n=48), every_ms=500)
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

@@ -34,7 +34,9 @@ def test_rows_only_queries_register_last():
         f"queries, got {len(standalone)}"
     )
     assert len(oracle_backed) == 58
-    assert len(names) == 66  # r6: +image_near_dup (rows-only)
+    # r6: +image_near_dup, +media_stream_info, +video_frame_samples (all
+    # rows-only — fixture-free corpora)
+    assert len(names) == 68
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     # and every covered entry's consumer is itself gated
