@@ -90,8 +90,10 @@ class NearDupState:
     hot: DataFrame
     edges: DataFrame
     assign: DataFrame
-    #: cluster ids whose membership changed in the LAST step — the
-    #: delta-proportional upsert set for survivors (init: all clusters)
+    #: cluster ids whose membership changed in the LAST delta step — the
+    #: delta-proportional upsert set for survivors. None after init (the
+    #: first emission is necessarily full; `near_dup_emit` raises on
+    #: only_touched=True until a delta has run).
     touched_clusters: DataFrame = field(default=None)
 
     def compact(self) -> "NearDupState":
@@ -100,6 +102,7 @@ class NearDupState:
         rewrite). O(corpus) — run periodically, not per batch."""
         return replace(
             self,
+            docs=_snap(self.docs),
             buckets=_snap(self.buckets),
             counts=_snap(self.counts),
             hot=_snap(self.hot),
@@ -217,7 +220,6 @@ def near_dup_init(
         hot=hot,
         edges=edges,
         assign=assign,
-        touched_clusters=assign.select("cluster_id").distinct(),
     )
 
 
@@ -358,14 +360,20 @@ def near_dup_delta(
     affected = _snap(
         hit_members.unionByName(changed_docs).dropDuplicates(["doc_id"])
     )
+    # NOT force-broadcast (the notes-#34 rule, same call as the batch
+    # near_dup_corpus): `affected` is bounded by touched-CLUSTER
+    # membership, not the delta — one giant boilerplate cluster (routine
+    # in web dedup) would blow a forced broadcast. AQE broadcasts the
+    # checkpointed set when it is actually small (the usual case) and
+    # falls back to a bounded shuffle when it is not.
     aff1 = affected.withColumnRenamed("doc_id", "id1")
     aff2 = affected.withColumnRenamed("doc_id", "id2")
     # an old edge with one affected endpoint lies inside a hit cluster,
     # so both its endpoints are affected; the two semi-joins are belt and
     # braces for the added-edge case
     cc_edges = (
-        edges_new.join(F.broadcast(aff1), "id1", "left_semi")
-        .unionByName(edges_new.join(F.broadcast(aff2), "id2", "left_semi"))
+        edges_new.join(aff1, "id1", "left_semi")
+        .unionByName(edges_new.join(aff2, "id2", "left_semi"))
         .dropDuplicates(["id1", "id2"])
     )
     assign_touched = _snap(
@@ -374,7 +382,7 @@ def near_dup_delta(
         ).select(F.col("record_id").alias("doc_id"), "cluster_id")
     )
     assign_new = state.assign.join(
-        F.broadcast(affected), "doc_id", "left_anti"
+        affected, "doc_id", "left_anti"
     ).unionByName(assign_touched)
 
     # touched clusters: the new and old EFFECTIVE cluster ids of every
@@ -385,7 +393,7 @@ def near_dup_delta(
     # upsert). Plus every delta doc's effective cluster: new-and-singleton
     # docs appear in neither assignment, yet their rows are new emission
     # rows. All inputs here are already affected/delta-bounded.
-    old_aff = state.assign.join(F.broadcast(affected), "doc_id", "left_semi")
+    old_aff = state.assign.join(affected, "doc_id", "left_semi")
     changed = old_aff.withColumnRenamed("cluster_id", "_old").join(
         assign_touched, "doc_id", "full_outer"
     ).filter(
@@ -430,6 +438,13 @@ def near_dup_emit(state: NearDupState, only_touched: bool = False) -> DataFrame:
     instead of rewriting the corpus."""
     id_col = state.id_col
     docs, assign = state.docs, state.assign
+    if only_touched and state.touched_clusters is None:
+        raise ValueError(
+            "near_dup_emit(only_touched=True) requires a delta step first: "
+            "after near_dup_init the change set is the whole corpus "
+            "(including implicit singletons, which have no cluster row), "
+            "so the first emission must be full (only_touched=False)"
+        )
     if only_touched:
         # Every emitted row has dup_cluster_id == its own doc_id: drop_ids
         # removes every non-canonical member, and CC cluster ids are member

@@ -1375,6 +1375,130 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+# -- n-gram LM perplexity quality filter (CCNet-style; r6) -------------------
+
+
+def _lm_artifact():
+    """Fitted stupid-backoff LM — fit ONCE, serially, on the oracle
+    fixture (the _ivf_cents/_bpe_artifacts discipline: the artifact is
+    used at EVERY sf so the twin stays scale-invariant). None when the
+    fixture is unreadable (rows-only mode, audible)."""
+    import os
+
+    if not hasattr(_lm_artifact, "_cache"):
+        from .functions.lm import fit_stupid_backoff
+
+        path = os.path.join(_IVF_ORACLE_DIR, "documents.parquet")
+        try:
+            _lm_artifact._cache = fit_stupid_backoff(path)
+        except (FileNotFoundError, OSError) as e:
+            import warnings
+
+            warnings.warn(
+                f"LM oracle disabled: fixture {path} unreadable ({e}) — "
+                "lm_perplexity downgrades to rows-only checking",
+                stacklevel=2,
+            )
+            _lm_artifact._cache = None
+    return _lm_artifact._cache
+
+
+def _lm_artifact_for(sf_dir):
+    lm = _lm_artifact()
+    if lm is None:
+        from .functions.lm import fit_stupid_backoff
+
+        lm = fit_stupid_backoff(f"{sf_dir}/documents.parquet")
+    return lm
+
+
+def _lm_perplexity_sql():
+    from .functions.lm import ALPHA_MICRO, MICRO, SENT
+
+    lm = _lm_artifact()
+    if lm is None:
+        return None
+    d1, d2, d3 = lm.dims
+
+    def vals(arr):
+        return ", ".join(
+            f"({b}, {v})" for b, v in enumerate(arr) if v != SENT
+        )
+
+    def bkt(expr, dim):
+        return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT % {dim}"
+
+    return f"""WITH s1(b, v) AS (VALUES {vals(lm.s1)}),
+    s2(b, v) AS (VALUES {vals(lm.s2)}),
+    s3(b, v) AS (VALUES {vals(lm.s3)}),
+    lt AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM lt),
+    tok AS (
+      SELECT doc_id, i, list_extract(ws, i) AS w,
+             CASE WHEN i >= 2 THEN list_extract(ws, i - 1) END AS wp,
+             CASE WHEN i >= 3 THEN list_extract(ws, i - 2) END AS wpp
+      FROM pos
+    ),
+    keyed AS (
+      SELECT doc_id, i,
+             {bkt('w', d1)} AS b1,
+             CASE WHEN i >= 2 THEN {bkt("wp || ' ' || w", d2)} END AS b2,
+             CASE WHEN i >= 3
+                  THEN {bkt("wpp || ' ' || wp || ' ' || w", d3)} END AS b3
+      FROM tok
+    ),
+    sc AS (
+      SELECT k.doc_id,
+             CASE
+               WHEN k.b3 IS NOT NULL AND t.v IS NOT NULL THEN t.v
+               WHEN k.b3 IS NOT NULL THEN {ALPHA_MICRO} +
+                 CASE WHEN b.v IS NOT NULL THEN b.v
+                      ELSE {ALPHA_MICRO} + coalesce(u.v, {lm.oov_micro}) END
+               WHEN k.b2 IS NOT NULL THEN
+                 CASE WHEN b.v IS NOT NULL THEN b.v
+                      ELSE {ALPHA_MICRO} + coalesce(u.v, {lm.oov_micro}) END
+               ELSE coalesce(u.v, {lm.oov_micro})
+             END AS s
+      FROM keyed k
+      LEFT JOIN s1 u ON u.b = k.b1
+      LEFT JOIN s2 b ON b.b = k.b2
+      LEFT JOIN s3 t ON t.b = k.b3
+    ),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(s)::BIGINT AS logp_micro
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id AS record_id,
+           coalesce(a.n_words, 0)::BIGINT AS n_words,
+           coalesce(a.logp_micro, 0)::BIGINT AS logp_micro,
+           coalesce(round(a.logp_micro::DOUBLE / (a.n_words * {MICRO}.0), 6),
+                    0.0) AS avg_logp10
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@_q("lm_perplexity", _lm_perplexity_sql)
+def q_lm_perplexity(spark, sf_dir):
+    """Per-doc log-probability under a hashed stupid-backoff word-trigram
+    LM (functions/lm.py) — the CCNet-style perplexity quality filter.
+    Scores are int64 micro-log10 units inlined into both engines, so the
+    emitted sums are exact cross-engine integers; avg_logp10 is the
+    monotone quantity a perplexity threshold filters on. The Spark side
+    is one native projection (zero shuffle, model broadcast by literal);
+    the DuckDB twin is the relational unnest + bucket-join formulation of
+    the same hashed tables."""
+    from .functions.lm import lm_score_docs
+
+    lm = _lm_artifact_for(sf_dir)
+    return lm_score_docs(_docs(spark, sf_dir), lm).withColumnRenamed(
+        "doc_id", "record_id"
+    )
+
+
 @_q(
     "doc_fingerprints",
     f"WITH {SQL_RECORDS_CTE}, "
@@ -3018,6 +3142,11 @@ def q_video_frame_samples(spark, sf_dir):
 #:     the map by materializing and hashing every chunk's id array);
 #:   connected_components → near_dup_clusters (gated; its recursive-CTE
 #:     twin re-derives the same large-star/small-star CC end-to-end).
+#: r6 (second pass): tfidf_top_terms → pairs_tfidf_cosine (gated; it
+#: hash-verifies the same tfidf_terms weight table through the pair
+#: cosine, and the ranking-window machinery top-terms adds is separately
+#: gated via orders_topn_window + block_topn_cap) — freeing the gate slot
+#: for lm_perplexity (standalone: nothing else exercises the LM).
 _INGREDIENT_QUERIES = frozenset(
     {
         "char_shingles",
@@ -3028,6 +3157,7 @@ _INGREDIENT_QUERIES = frozenset(
         "embedding_pq_topk",
         "sequence_packing",
         "connected_components",
+        "tfidf_top_terms",
     }
 )
 

@@ -51,6 +51,18 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4.1's partitioning-aware UnionExec (default on) zips
+        # same-index partitions of identically-partitioned union children.
+        # Under AQE each branch's shuffle stages coalesce INDEPENDENTLY, so
+        # the two branches can materialize with different partition counts
+        # and any downstream join that trusted the union's claimed
+        # partitioning dies with "Can't zip RDDs with unequal numbers of
+        # partitions" (hit by the incremental near-dup state plans, where
+        # the optimizer pushes semi-joins through the assign/edges segment
+        # unions and both branches end hash-partitioned on the same key).
+        # Disable it: unions report UnknownPartitioning and EnsureRequirements
+        # inserts the exchange, which is always sound.
+        .config("spark.sql.unionOutputPartitioning", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -131,6 +131,17 @@ def test_compact_preserves_emission(spark, cfg):
     release_caches()
 
 
+def test_emit_only_touched_requires_a_delta(spark, cfg):
+    """Straight after init the change set is the whole corpus — including
+    implicit singletons, which have no cluster row to enumerate — so
+    only_touched=True must raise instead of silently dropping them."""
+    rows = _docs()
+    st = near_dup_init(spark.createDataFrame(rows[:10], COLS), cfg=cfg)
+    with pytest.raises(ValueError, match="only_touched"):
+        near_dup_emit(st, only_touched=True)
+    release_caches()
+
+
 def test_delta_rejects_existing_ids(spark, cfg):
     rows = _docs()
     st = near_dup_init(spark.createDataFrame(rows[:10], COLS), cfg=cfg)

@@ -33,10 +33,11 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 58
+    assert len(oracle_backed) == 59
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples (all
-    # rows-only — fixture-free corpora)
-    assert len(names) == 68
+    # rows-only — fixture-free corpora); +lm_perplexity (gated, slot
+    # freed by demoting tfidf_top_terms to covered)
+    assert len(names) == 69
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     # and every covered entry's consumer is itself gated
@@ -50,6 +51,10 @@ def test_rows_only_queries_register_last():
         # r6 demotions (slots for bpe_encode_ids / packed_chunk_ids):
         "sequence_packing": "pack_chunk_stats",
         "connected_components": "near_dup_clusters",
+        # r6 second pass (slot for lm_perplexity): the tfidf weight table
+        # is hash-verified through the pair cosine; the ranking window is
+        # separately gated (orders_topn_window, block_topn_cap)
+        "tfidf_top_terms": "pairs_tfidf_cosine",
     }
     assert set(consumers) == set(Q._INGREDIENT_QUERIES)
     for covered, consumer in consumers.items():

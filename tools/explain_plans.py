@@ -137,6 +137,15 @@ CHECKS = {
             "CartesianProduct", "Exchange", "ArrowEvalPython", "BatchEvalPython",
         ],
     },
+    "lm_perplexity": {
+        # stupid-backoff LM scorer: score tables inlined as literal
+        # arrays (broadcast by value) — one native projection over the
+        # scan, no model join, no shuffle, no Python
+        "must": ["Project"],
+        "must_not": [
+            "CartesianProduct", "Exchange", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
     "decontamination_provenance": {
         # same broadcast-holdout shape as decontamination: the corpus gram
         # stream must never shuffle on the gram key
