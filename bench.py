@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "near_dup_corpus",
     "decontamination_provenance",
     "sequence_packing",
+    # r6 additions
+    "packed_chunk_ids",
+    "lm_perplexity",
 ]
 
 

@@ -245,6 +245,15 @@ def score_text_py(text: str, lm: StupidBackoffLM) -> tuple[int, int]:
     return len(ws), total
 
 
+def _array_lit(values: tuple[int, ...]) -> Column:
+    """array<long> literal as ONE parsed expression. `F.lit(list)` builds
+    the array element-by-element over py4j — 14.8s for the 32k trigram
+    table, dominating the whole query build; a single `F.expr` parse of
+    the same array is 0.3s (measured r6). Constant-folded once by
+    Catalyst either way."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in values) + ")")
+
+
 def _lookup(arr_lit: Column, key: Column, dim: int) -> Column:
     return F.element_at(arr_lit, (md5_long(key) % dim).cast("int") + 1)
 
@@ -258,9 +267,9 @@ def lm_logprob_micro(text: Column | str, lm: StupidBackoffLM) -> Column:
     Python, nothing to skew."""
     c = F.col(text) if isinstance(text, str) else text
     d1, d2, d3 = lm.dims
-    a1 = F.lit(list(lm.s1)).cast("array<long>")
-    a2 = F.lit(list(lm.s2)).cast("array<long>")
-    a3 = F.lit(list(lm.s3)).cast("array<long>")
+    a1 = _array_lit(lm.s1)
+    a2 = _array_lit(lm.s2)
+    a3 = _array_lit(lm.s3)
     alpha = F.lit(ALPHA_MICRO).cast("long")
     oov = F.lit(lm.oov_micro).cast("long")
     zero = F.lit(0).cast("long")
