@@ -160,3 +160,28 @@ def test_backoff_chain_values():
     ]
     # token 2 ("c" after "b"): bigram "b c" present → its score (0)
     assert t2 == tok1 + 0 + exp_tok3
+
+
+def test_ccnet_buckets_are_balanced_tertiles(spark):
+    """Per-lang head/middle/tail sizes differ by at most one (ntile
+    contract), every doc is assigned, and head docs have the best
+    (highest) avg log-prob in their language."""
+    from dig_entity_resolution_spark import queries as Q
+
+    df = Q.spark_queries()["ccnet_buckets"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert len(rows) == docs.count()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+        if len(rs) >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        worst_head = min(r["avg_logp10"] for r in rs if r["ppl_bucket"] == "head")
+        tail = [r["avg_logp10"] for r in rs if r["ppl_bucket"] == "tail"]
+        if tail:
+            assert worst_head >= max(tail) or len(rs) < 3

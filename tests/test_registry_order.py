@@ -28,18 +28,27 @@ def test_rows_only_queries_register_last():
     # future oracle-backed query registered after a rows-only entry (or a
     # covered-set edit) must fail here, not silently drop out of the gate.
     oracle_backed = [n for n in names if Q._REGISTRY[n][1] is not None]
-    standalone = [n for n in oracle_backed if n not in Q._INGREDIENT_QUERIES]
+    standalone = [
+        n
+        for n in oracle_backed
+        if n not in Q._INGREDIENT_QUERIES and n not in Q._DEFERRED_QUERIES
+    ]
     assert len(standalone) == 50, (
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 59
-    # r6: +image_near_dup, +media_stream_info, +video_frame_samples (all
-    # rows-only — fixture-free corpora); +lm_perplexity (gated, slot
-    # freed by demoting tfidf_top_terms to covered)
-    assert len(names) == 69
+    assert len(oracle_backed) == 61
+    # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
+    # +dsir_resample_production (all rows-only); +lm_perplexity (gated,
+    # slot freed by demoting tfidf_top_terms to covered); +dsir_select,
+    # +ccnet_buckets (oracle-backed DEFERRED — the gate cap is full, they
+    # sort right after the prefix and verify via check_oracles)
+    assert len(names) == 72
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
+    # deferred standalone entries come directly after the gate prefix
+    assert Q._DEFERRED_QUERIES == {"dsir_select", "ccnet_buckets"}
+    assert set(names[50:52]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root
