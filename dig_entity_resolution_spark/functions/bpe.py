@@ -116,6 +116,28 @@ def fit_bpe_merges(
     return merges
 
 
+def bpe_word_freqs_distributed(
+    docs, text_col: str = "text", max_words: int = 1 << 20
+) -> dict[str, int]:
+    """Word-frequency table via explode + groupBy count (map-side combine
+    does the heavy lifting), with a deterministic top-`max_words` cap by
+    (count desc, word) so driver traffic is bounded by VOCABULARY size,
+    never corpus size — the lm.py/dsir.py distributed-fit discipline.
+    With the cap above the distinct-word count this equals
+    bpe_word_freqs_local on the same data (pinned in tests)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    rows = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(max_words)
+        .collect()
+    )
+    return {r["w"]: int(r["n"]) for r in rows}
+
+
 def bpe_word_freqs_local(parquet_path: str, text_col: str = "text") -> dict[str, int]:
     """Word-frequency table from a parquet fixture (pyarrow scan — bit-
     deterministic regardless of Spark partitioning)."""
