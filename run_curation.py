@@ -1,0 +1,92 @@
+"""spark-submit entry point for the training-data CURATION pipeline —
+the webtext twin of run_pipeline.py (same launch contract):
+
+    zip -r er_engine.zip dig_entity_resolution_spark
+    spark-submit --py-files er_engine.zip run_curation.py \
+        --input /path/documents_parquet --warehouse /path/wh --run-id C1 \
+        [--holdout /path/eval_parquet] [--select-k N] [--resume] [--no-pack]
+
+Local sandbox run uses the same file (master defaults to local[*]).
+Prints a one-line JSON report: per-stage counters, survivor/chunk counts,
+and the stages this invocation actually computed (resume visibility).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dig_entity_resolution_spark.plans.curation import (
+    CurationConfig,
+    CurationPipeline,
+)
+from dig_entity_resolution_spark.session import build_session
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-id", default="cur0")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--holdout", help="eval-set parquet for decontamination")
+    p.add_argument("--min-ws-tokens", type=int, default=5)
+    p.add_argument("--max-punct-ratio", type=float, default=0.5)
+    p.add_argument(
+        "--no-classifier", action="store_true",
+        help="disable the hashed-ngram quality classifier gate",
+    )
+    p.add_argument(
+        "--keep-ppl-buckets", default="head,middle",
+        help="comma list of CCNet perplexity buckets to keep "
+        "(head/middle/tail); empty string disables the LM gate",
+    )
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--max-bucket", type=int, default=200)
+    p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument(
+        "--select-k", type=int, default=None,
+        help="DSIR importance selection: keep the top-k docs by importance "
+        "weight (omit to keep everything)",
+    )
+    p.add_argument("--no-pack", action="store_true",
+                   help="stop after selection; skip BPE packing")
+    p.add_argument("--bpe-merges", type=int, default=40)
+    p.add_argument("--seq-len", type=int, default=128)
+    args = p.parse_args(argv)
+
+    cfg = CurationConfig(
+        min_ws_tokens=args.min_ws_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        use_classifier=not args.no_classifier,
+        keep_ppl_buckets=tuple(
+            b.strip() for b in args.keep_ppl_buckets.split(",") if b.strip()
+        ),
+        jaccard_threshold=args.jaccard_threshold,
+        max_bucket=args.max_bucket,
+        decontam_n=args.decontam_n,
+        select_k=args.select_k,
+        pack=not args.no_pack,
+        bpe_merges=args.bpe_merges,
+        seq_len=args.seq_len,
+    )
+    spark = build_session(app_name=f"curation-{args.run_id}")
+    pipe = CurationPipeline(spark, args.warehouse, args.run_id, cfg)
+    docs = spark.read.parquet(args.input)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    out = pipe.run(docs, holdout=holdout, resume=args.resume)
+    report = {
+        "run_id": args.run_id,
+        "resumed": args.resume,
+        "computed_stages": pipe.computed_stages,
+        "counters": pipe.report(),
+        "rows_out": out.count(),
+    }
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,3 +80,54 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert report["counters"]["records"] == 35
     assert report["n_clusters"] == 25  # 5 planted clusters + 20 singletons
     assert report["eval"]["f1"] >= 0.99
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_curation_end_to_end(tmp_path):
+    """run_curation.py through the same --py-files contract: documents in,
+    packed chunks + per-stage counters out."""
+    from tools.package import build
+
+    zip_path = build(str(tmp_path / "er_engine.zip"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "run_curation.py"),
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse",
+            str(tmp_path / "wh"),
+            "--run-id",
+            "cur_smoke",
+            "--keep-ppl-buckets",
+            "",  # LM gate off: keep the smoke fast and planted-free
+            "--seq-len",
+            "64",
+            "--bpe-merges",
+            "10",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["run_id"] == "cur_smoke"
+    c = report["counters"]
+    assert set(c) >= {"hygiene", "quality", "dedup", "decontam", "selected", "chunks"}
+    assert c["hygiene"] == c["quality"]  # audit table is unfiltered
+    assert c["dedup"] <= c["quality"]
+    assert report["rows_out"] == c["chunks"] > 0
