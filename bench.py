@@ -216,6 +216,54 @@ def _bench_incremental_near_dup(spark) -> dict:
     return out
 
 
+def _bench_curation(spark) -> dict:
+    """End-to-end CurationPipeline wall over the sf documents table (r6):
+    per-stage walls from one run — the number a training-data pipeline
+    operator actually schedules around. LM gate ON (distributed fit +
+    per-lang ntile), classifier ON, pack ON; no holdout (decontam
+    passthrough is free and its operator cost is benched separately via
+    `decontamination`)."""
+    import shutil
+    import tempfile
+
+    from dig_entity_resolution_spark.operators.dedup import release_caches
+    from dig_entity_resolution_spark.plans.curation import (
+        CurationConfig,
+        CurationPipeline,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench_curation_")
+    try:
+        pipe = CurationPipeline(
+            spark, wh, "bench", CurationConfig(seq_len=128, bpe_merges=40)
+        )
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        stage_walls: dict = {}
+        orig = pipe.ckpt.write
+
+        def timed_write(stage, df, partition_by=None):
+            t0 = time.time()
+            out = orig(stage, df, partition_by)
+            stage_walls[stage] = round(time.time() - t0, 3)
+            return out
+
+        pipe.ckpt.write = timed_write
+        t0 = time.time()
+        chunks = pipe.run(docs)
+        n_chunks = chunks.count()
+        total = time.time() - t0
+        release_caches()
+        return {
+            "n_docs": docs.count(),
+            "n_chunks": n_chunks,
+            "total_sec": round(total, 3),
+            "stages_sec": stage_walls,
+            "counters": pipe.report(),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def _ensure_corpus() -> str:
     from dig_entity_resolution_spark.synth import generate_corpus
 
@@ -339,6 +387,7 @@ def main() -> None:
     result["queries_exec"] = execute  # cross-round-comparable series
     if not FAST:
         result["incr_near_dup"] = _bench_incremental_near_dup(spark)
+        result["curation"] = _bench_curation(spark)
     spark.stop()
     # CPU-control sample taken in the same minutes as part 1: cross-round
     # part-1 comparisons divide by this to cancel shared-VM drift (the r2
