@@ -178,7 +178,14 @@ def apply_bpe_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def bpe_merges_literal(merges: list[tuple[str, str]]) -> Column:
-    """array<struct<a,b,ab>> literal of the fitted merges, in rank order."""
+    """array<struct<a,b,ab>> literal of the fitted merges, in rank order.
+    A fit over an EMPTY corpus legally yields zero merges — `F.array()`
+    would then be VOID-typed and kill analysis downstream, so the empty
+    case is cast explicitly (r6 review: empty-input CurationPipeline)."""
+    if not merges:
+        return F.expr(
+            "cast(array() as array<struct<a:string,b:string,ab:string>>)"
+        )
     return F.array(
         *[
             F.struct(
@@ -375,6 +382,9 @@ def decode_bpe_ids(ids: list[int], vocab: list[str]) -> str:
 
 def bpe_vocab_map_literal(vocab: list[str]) -> Column:
     """map<string,int> literal of the vocab (token → id)."""
+    if not vocab:
+        # see bpe_merges_literal: VOID-typed empty literals break analysis
+        return F.expr("map()").cast("map<string,int>")
     return F.map_from_arrays(
         F.array(*[F.lit(t) for t in vocab]),
         F.array(*[F.lit(i).cast("int") for i in range(len(vocab))]),

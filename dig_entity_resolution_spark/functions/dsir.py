@@ -233,6 +233,34 @@ def dsir_select_topk(
     )
 
 
+def dsir_select_frac(
+    docs: DataFrame,
+    wt: DsirWeights,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The 100 TB selection shape: top-k via orderBy+limit is a
+    TakeOrdered that merges k·P rows on the driver — fine for the oracle
+    k=100, wrong when "k" is billions. Production selects a FRACTION:
+    approx-quantile the integer score once (a tiny driver-side sketch),
+    broadcast the threshold into a plain filter, and the corpus streams
+    through scan → project → filter with no sort and no driver
+    materialization. The boundary is fuzzy by `relative_error` of rank
+    (the documented approx-quantile contract) — exactly the tolerance a
+    keep-rate knob has anyway."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    scored = dsir_score_docs(docs, wt, id_col, text_col)
+    if keep_frac == 1.0:
+        return scored
+    thr = scored.approxQuantile(
+        "logratio_micro", [1.0 - keep_frac], relative_error
+    )[0]
+    return scored.filter(F.col("logratio_micro") >= F.lit(int(thr)))
+
+
 def dsir_resample_gumbel(
     docs: DataFrame,
     wt: DsirWeights,

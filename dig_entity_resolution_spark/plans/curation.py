@@ -92,8 +92,12 @@ class CurationConfig:
     # -- decontamination (None disables the stage)
     decontam_n: int = 8
     decontam_min_hits: int = 1
-    # -- DSIR selection (None = keep everything)
+    # -- DSIR selection (both None = keep everything). select_k is the
+    # exact small-k config (TakeOrdered); select_frac is the 100 TB shape
+    # (approx-quantile threshold broadcast into a filter — no sort, no
+    # driver materialization; see dsir_select_frac)
     select_k: int | None = None
+    select_frac: float | None = None
     dsir_target_texts: tuple[str, ...] = field(
         default_factory=lambda: tuple(default_target_texts())
     )
@@ -108,6 +112,10 @@ class CurationConfig:
             raise ValueError(f"unknown ppl buckets {sorted(bad)}")
         if self.select_k is not None and self.select_k <= 0:
             raise ValueError("select_k must be positive or None")
+        if self.select_frac is not None and not (0.0 < self.select_frac <= 1.0):
+            raise ValueError("select_frac must be in (0, 1] or None")
+        if self.select_k is not None and self.select_frac is not None:
+            raise ValueError("set select_k OR select_frac, not both")
 
 
 class CurationPipeline:
@@ -218,20 +226,25 @@ class CurationPipeline:
         )
 
     def _selected(self, corpus: DataFrame) -> DataFrame:
-        if self.cfg.select_k is None:
+        if self.cfg.select_k is None and self.cfg.select_frac is None:
             return corpus
-        from ..functions.dsir import DIM
+        from ..functions.dsir import DIM, dsir_select_frac
 
         wt = fit_dsir_weights(
             _counts_py(list(self.cfg.dsir_target_texts), DIM),
             raw_counts_distributed(corpus),
         )
-        top = (
-            dsir_score_docs(corpus, wt)
-            .orderBy(F.col("logratio_micro").desc(), F.col("doc_id"))
-            .limit(self.cfg.select_k)
-            .select("doc_id", "logratio_micro")
-        )
+        if self.cfg.select_frac is not None:
+            top = dsir_select_frac(corpus, wt, self.cfg.select_frac).select(
+                "doc_id", "logratio_micro"
+            )
+        else:
+            top = (
+                dsir_score_docs(corpus, wt)
+                .orderBy(F.col("logratio_micro").desc(), F.col("doc_id"))
+                .limit(self.cfg.select_k)
+                .select("doc_id", "logratio_micro")
+            )
         return corpus.join(top, "doc_id").select(
             *[F.col(c) for c in corpus.columns], "logratio_micro"
         )

@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
         help="DSIR importance selection: keep the top-k docs by importance "
         "weight (omit to keep everything)",
     )
+    p.add_argument(
+        "--select-frac", type=float, default=None,
+        help="DSIR selection as a keep FRACTION via approx-quantile "
+        "threshold (the at-scale alternative to --select-k)",
+    )
     p.add_argument("--no-pack", action="store_true",
                    help="stop after selection; skip BPE packing")
     p.add_argument("--bpe-merges", type=int, default=40)
@@ -67,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         max_bucket=args.max_bucket,
         decontam_n=args.decontam_n,
         select_k=args.select_k,
+        select_frac=args.select_frac,
         pack=not args.no_pack,
         bpe_merges=args.bpe_merges,
         seq_len=args.seq_len,

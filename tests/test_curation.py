@@ -57,16 +57,15 @@ def _corpus():
     return rows
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from dig_entity_resolution_spark.session import build_session
-
-    s = build_session(cpus=4, shuffle_partitions=4)
-    yield s
+# the session-scoped `spark` fixture comes from tests/conftest.py (a
+# module-local stop() would kill the shared session for later modules —
+# r6 review); only the dedup operator caches need module-level cleanup
+@pytest.fixture(scope="module", autouse=True)
+def _release_dedup_caches():
+    yield
     from dig_entity_resolution_spark.operators.dedup import release_caches
 
     release_caches()
-    s.stop()
 
 
 def _cfg(**kw):
@@ -196,3 +195,40 @@ def test_distributed_word_freqs_equal_local(spark):
     assert bpe_word_freqs_distributed(spark.read.parquet(path)) == (
         bpe_word_freqs_local(path)
     )
+
+
+def test_empty_input_runs_clean(spark):
+    """0-row input must flow through every stage (ERPipeline's
+    empty-input contract): an empty corpus fits zero BPE merges, and the
+    empty merges/vocab literals must stay correctly typed (r6 review —
+    VOID-typed empty F.array() literals killed analysis)."""
+    from pyspark.sql import types as T
+
+    tmp = tempfile.mkdtemp()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    pipe = CurationPipeline(spark, tmp, "empty", _cfg())
+    out = pipe.run(spark.createDataFrame([], schema))
+    assert out.count() == 0
+    assert pipe.computed_stages == [
+        "hygiene", "quality", "dedup", "decontam", "selected", "chunks",
+    ]
+
+
+def test_select_frac_production_path(spark):
+    tmp = tempfile.mkdtemp()
+    pipe = CurationPipeline(
+        spark, tmp, "frac", _cfg(select_frac=0.5, pack=False)
+    )
+    out = pipe.run(spark.createDataFrame(_corpus(), COLS)).collect()
+    assert 1 <= len(out) <= 4  # of the 4 post-dedup survivors
+    assert all(r["logratio_micro"] is not None for r in out)
+    with pytest.raises(ValueError, match="not both"):
+        CurationConfig(select_k=3, select_frac=0.5)
+    with pytest.raises(ValueError, match="select_frac"):
+        CurationConfig(select_frac=1.5)

@@ -18,6 +18,7 @@ from dig_entity_resolution_spark.functions.dsir import (
     dsir_resample_gumbel,
     dsir_score_docs,
     dsir_score_py,
+    dsir_select_frac,
     dsir_select_topk,
     fit_dsir_weights,
     raw_counts_distributed,
@@ -27,13 +28,11 @@ from dig_entity_resolution_spark.functions.dsir import (
 COLS = ["doc_id", "text"]
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from dig_entity_resolution_spark.session import build_session
-
-    s = build_session(cpus=4, shuffle_partitions=4)
-    yield s
-    s.stop()
+# the session-scoped `spark` fixture comes from tests/conftest.py — a
+# module-local fixture calling s.stop() would kill the getOrCreate-shared
+# session for every module after this one (r6 review: exactly that took
+# down 134 later tests in the full-suite run while each module passed
+# alone)
 
 
 @pytest.fixture(scope="module")
@@ -135,3 +134,35 @@ def test_weights_are_micro_log_ratios():
     assert wt.w[0] > 0 > wt.w[1]
     # symmetric counts => symmetric weights
     assert wt.w[0] == -wt.w[1]
+
+
+def test_select_frac_thresholds_without_sort(spark, weights):
+    # varied lengths -> distinct scores; a constant text would tie every
+    # doc and the >= threshold would (correctly) keep the whole plateau
+    rows = [
+        (i, "market " * (i % 7 + 1) + f"research study {i} evidence report")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    out = dsir_select_frac(df, weights, 0.4)
+    got = out.collect()
+    # ~40% kept, within approx-quantile rank tolerance + residual ties
+    assert 10 <= len(got) <= 32
+    # every kept score >= every dropped score (threshold semantics)
+    kept = {r["doc_id"] for r in got}
+    scores = {
+        r["doc_id"]: r["logratio_micro"]
+        for r in dsir_score_docs(df, weights).collect()
+    }
+    lo_kept = min(scores[i] for i in kept)
+    hi_drop = max(
+        (scores[i] for i in scores if i not in kept), default=lo_kept
+    )
+    assert lo_kept >= hi_drop
+    # no Sort / TakeOrdered in the selection plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in plan and "Sort" not in plan
+    # full-keep passthrough
+    assert dsir_select_frac(df, weights, 1.0).count() == 50
+    with pytest.raises(ValueError, match="keep_frac"):
+        dsir_select_frac(df, weights, 0.0)
