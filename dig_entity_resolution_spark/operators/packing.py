@@ -170,7 +170,28 @@ def pack_chunks(
     Zero-length docs have no place in the packed stream; pack_sequences
     raises on them in-plan — filter size(ids) > 0 first.
     """
-    packed = pack_sequences(
+    packed = pack_chunk_map(
+        ids_df, id_col=id_col, ids_col=ids_col, capacity=capacity,
+        salt=salt, bucket_hex=bucket_hex,
+    )
+    return chunks_from_map(packed, ids_df, id_col, ids_col, capacity)
+
+
+def pack_chunk_map(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    capacity: int = 2048,
+    salt: str = "pack",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """The doc→chunk placement map for an encoded corpus — pack_sequences
+    with token_count = size(ids) (the same map pack_chunks builds
+    internally). Exposed so a pipeline can CHECKPOINT the map (e.g. the
+    incremental curation chunk_map, which later batches consult for
+    tombstone closure) and assemble the chunk payloads from it with
+    chunks_from_map without recomputing the prefix sum."""
+    return pack_sequences(
         ids_df.select(id_col, ids_col),
         id_col=id_col,
         text_col=ids_col,
@@ -179,6 +200,18 @@ def pack_chunks(
         bucket_hex=bucket_hex,
         token_count=lambda c: F.size(c).cast("long"),
     )
+
+
+def chunks_from_map(
+    packed: DataFrame,
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Assemble (chunk_id, n_tokens, token_ids) from a pack_chunk_map map
+    and the encoded corpus. `capacity` must be the capacity the map was
+    built with (the pack_chunk_stats contract)."""
     c = F.lit(capacity)
     per = packed.join(ids_df.select(id_col, ids_col), id_col).select(
         "global_start",

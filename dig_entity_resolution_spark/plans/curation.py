@@ -69,6 +69,76 @@ from .checkpoint import ParquetCheckpoint
 STAGES = ["hygiene", "quality", "dedup", "decontam", "selected", "chunks"]
 
 
+def hygiene_stage(docs: DataFrame, cfg: "CurationConfig") -> DataFrame:
+    """url canonicalization + PII redaction + empty/NULL-text drop — the
+    per-doc stage shared by the batch and incremental pipelines."""
+    cols = [F.col("doc_id")]
+    if "url" in docs.columns:
+        cols.append(canonical_url("url").alias("url"))
+    text = redact_pii("text") if cfg.redact_pii else F.col("text")
+    cols.append(text.alias("text"))
+    for c in docs.columns:
+        if c not in ("doc_id", "url", "text"):
+            cols.append(F.col(c))
+    out = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select(*cols)
+    if "lang" not in docs.columns:
+        out = out.withColumn("lang", F.lit("und"))
+    return out
+
+
+def ntile_ppl_buckets(scored: DataFrame) -> DataFrame:
+    """The BATCH bucket rule: per-language tertiles of avg_logp10 over
+    THIS corpus (exact ntile on (score desc, doc_id) — the ccnet_buckets
+    registry rule). Corpus-relative by construction; the incremental
+    pipeline pins thresholds derived from these tiles instead
+    (plans/curation_incremental.fixed_ppl_buckets)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp10").desc(), F.col("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail"),
+    )
+
+
+def quality_audit(
+    docs: DataFrame,
+    cfg: "CurationConfig",
+    lm: StupidBackoffLM | None,
+    bucket_builder,
+) -> DataFrame:
+    """All quality signals + the combined keep decision, UNFILTERED (the
+    audit table both the batch and incremental pipelines checkpoint).
+    `bucket_builder(df_with_avg_logp10) -> df + ppl_bucket` supplies the
+    perplexity-bucket rule: corpus-relative ntiles for the batch run,
+    pinned thresholds for incremental batches."""
+    feats = quality_features("text")
+    out = docs.withColumn("n_ws_tokens", feats["n_ws_tokens"]).withColumn(
+        "punct_ratio", F.round(feats["punct_ratio"], 6)
+    )
+    keep = (F.col("n_ws_tokens") >= cfg.min_ws_tokens) & (
+        F.col("punct_ratio") <= cfg.max_punct_ratio
+    )
+    if cfg.use_classifier:
+        weights, bias = quality_model_cached()
+        out = out.withColumn(
+            "quality_logit_micro", quality_logit_micro("text", weights, bias)
+        )
+        keep = keep & (F.col("quality_logit_micro") > 0)
+    if cfg.keep_ppl_buckets:
+        s = lm_logprob_micro(F.col("text"), lm)
+        out = out.withColumn(
+            "avg_logp10",
+            F.round(lm_avg_logp10(s["n_words"], s["logp_micro"]), 6),
+        )
+        out = bucket_builder(out)
+        keep = keep & F.col("ppl_bucket").isin(*cfg.keep_ppl_buckets)
+    return out.withColumn("keep", keep)
+
+
 @dataclass
 class CurationConfig:
     # -- hygiene
@@ -134,55 +204,14 @@ class CurationPipeline:
     # -- stage functions -------------------------------------------------
 
     def _hygiene(self, docs: DataFrame) -> DataFrame:
-        cols = [F.col("doc_id")]
-        if "url" in docs.columns:
-            cols.append(canonical_url("url").alias("url"))
-        text = redact_pii("text") if self.cfg.redact_pii else F.col("text")
-        cols.append(text.alias("text"))
-        for c in docs.columns:
-            if c not in ("doc_id", "url", "text"):
-                cols.append(F.col(c))
-        out = docs.filter(
-            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
-        ).select(*cols)
-        if "lang" not in docs.columns:
-            out = out.withColumn("lang", F.lit("und"))
-        return out
+        return hygiene_stage(docs, self.cfg)
 
     def _quality(self, docs: DataFrame) -> DataFrame:
         """All signals + the keep decision, UNFILTERED (audit table)."""
-        feats = quality_features("text")
-        out = docs.withColumn("n_ws_tokens", feats["n_ws_tokens"]).withColumn(
-            "punct_ratio", F.round(feats["punct_ratio"], 6)
-        )
-        keep = (F.col("n_ws_tokens") >= self.cfg.min_ws_tokens) & (
-            F.col("punct_ratio") <= self.cfg.max_punct_ratio
-        )
-        if self.cfg.use_classifier:
-            weights, bias = quality_model_cached()
-            out = out.withColumn(
-                "quality_logit_micro", quality_logit_micro("text", weights, bias)
-            )
-            keep = keep & (F.col("quality_logit_micro") > 0)
+        lm = None
         if self.cfg.keep_ppl_buckets:
             lm = self.cfg.lm or fit_stupid_backoff_distributed(docs)
-            s = lm_logprob_micro(F.col("text"), lm)
-            out = out.withColumn(
-                "avg_logp10",
-                F.round(lm_avg_logp10(s["n_words"], s["logp_micro"]), 6),
-            )
-            w = Window.partitionBy("lang").orderBy(
-                F.col("avg_logp10").desc(), F.col("doc_id")
-            )
-            tile = F.ntile(3).over(w)
-            out = out.withColumn(
-                "ppl_bucket",
-                F.when(tile == 1, "head")
-                .when(tile == 2, "middle")
-                .otherwise("tail"),
-            )
-            keep = keep & F.col("ppl_bucket").isin(*self.cfg.keep_ppl_buckets)
-        return out.withColumn("keep", keep)
+        return quality_audit(docs, self.cfg, lm, ntile_ppl_buckets)
 
     def _dedup(self, quality: DataFrame) -> DataFrame:
         kept = quality.filter(F.col("keep")).drop("keep")

@@ -1,0 +1,561 @@
+"""Incremental curation — the recurring-crawl form of plans/curation.py.
+
+The batch CurationPipeline re-derives the world per run: artifacts are
+refit, the corpus re-deduplicates, every chunk repacks. A recurring
+crawl instead processes each new batch against STATE, with cost
+proportional to the delta and what it touches:
+
+  hygiene / quality   per-doc with PINNED artifacts: the LM, the CCNet
+                      per-language perplexity-tertile THRESHOLDS (derived
+                      once from the init corpus's ntile table — the
+                      production CCNet posture: fixed thresholds, not
+                      corpus-relative tiles), the hashed-ngram classifier
+                      (already a fixed model), the DSIR weights and
+                      selection threshold, and the BPE merges/vocab.
+                      Pinning is what makes a doc's verdict a pure
+                      function of its text — the property every
+                      downstream delta computation relies on.
+  exact dedup         a (content_key, canonical_id) state table;
+                      first-seen-wins (the only canonical rule an
+                      append-only stream can honor — batch min-id
+                      equality holds when ids increase across batches).
+  near-dup            operators/dedup_incremental (delta-keyed LSH
+                      buckets, affected-subgraph CC); the upsert is
+                      near_dup_emit(only_touched=True).
+  decontam/selection  per-doc filters over the ADDITIONS only (fixed
+                      holdout n-gram keys; pinned DSIR threshold —
+                      select_k is global-top-k and therefore not an
+                      incremental decision: init() rejects it).
+  packing             each batch packs its additions into its OWN
+                      chunk stream (salt keyed by batch). Self-contained
+                      streams are what bound removal repair: a removal
+                      never perturbs another batch's chunks.
+
+Removals and chunk repair (the part batch pipelines get for free):
+adding docs can MERGE old clusters (a previously-kept canonical is
+absorbed → leaves the corpus) and cap-crossing buckets can retract
+edges and SPLIT clusters (previously-dropped docs re-emerge). A removed
+doc's tokens sit in packed chunks, and chunk boundaries don't align
+with doc boundaries — so the repair unit is the connected component of
+the "shares a chunk" relation: tombstone every chunk of the affected
+component, re-emit the component's still-live docs in the current
+batch's new stream. The closure loop is delta-seeded and bounded by
+component size (typically the removed doc's immediate chunk neighbours;
+worst case one batch's stream, never another batch's). Token coverage
+stays EXACT: every live doc's ids appear exactly once across live
+chunks (pinned by test_chunk_coverage_after_removals).
+
+Like NearDupState, the state is session-lifetime (lazy unions of
+localCheckpoint'd segments; new rows snap per batch, `compact()` folds
+periodically). Every stage output ALSO lands in the ParquetCheckpoint
+(`b{n:04d}_<stage>`), so batch artifacts are durable and auditable; at
+100 TB the state tables live in parquet bucketed by their join keys
+(content_key / bucket / cluster_id / doc_id) and each batch MERGEs only
+touched partitions — the dedup_incremental module's shape.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bpe import (
+    bpe_encode_ids,
+    bpe_word_freqs_distributed,
+    build_vocab,
+    fit_bpe_merges,
+)
+from ..functions.dsir import (
+    DIM,
+    _counts_py,
+    dsir_score_docs,
+    fit_dsir_weights,
+    raw_counts_distributed,
+)
+from ..functions.lm import StupidBackoffLM, fit_stupid_backoff_distributed
+from ..functions.normalize import normalize_text
+from ..operators.decontaminate import decontaminate
+from ..operators.dedup import exact_dup_groups
+from ..operators.dedup_incremental import (
+    NearDupConfig,
+    NearDupState,
+    _snap,
+    near_dup_delta,
+    near_dup_emit,
+    near_dup_init,
+)
+from ..operators.packing import chunks_from_map, pack_chunk_map
+from .checkpoint import ParquetCheckpoint
+from .curation import (
+    CurationConfig,
+    hygiene_stage,
+    ntile_ppl_buckets,
+    quality_audit,
+)
+
+#: the pipeline's canonical doc projection — the ONE schema every state
+#: table and cross-batch union sees, whatever passthrough columns a
+#: given crawl batch carries.
+_DOC_COLS = ("doc_id", "text", "lang")
+
+
+@dataclass(frozen=True)
+class CurationArtifacts:
+    """Everything fit ONCE (on the init corpus, or injected) and pinned
+    for every later batch. ppl_thresholds rows are (lang, head_min,
+    middle_min): bucket = head if avg_logp10 >= head_min, else middle if
+    >= middle_min, else tail; a lang with no middle tier at init stores
+    +inf (below-head scores land in tail); a lang UNSEEN at init maps to
+    'middle' (neutral — it passes the default head+middle gate without
+    claiming head quality)."""
+
+    lm: StupidBackoffLM | None
+    ppl_thresholds: tuple[tuple[str, float, float], ...]
+    dsir_wt: object | None
+    dsir_thr_micro: int | None
+    bpe_merges: tuple
+    bpe_vocab: dict
+
+
+def fixed_ppl_buckets(thresholds: tuple[tuple[str, float, float], ...]):
+    """quality_audit bucket builder using pinned per-language thresholds
+    (see CurationArtifacts). The incremental twin of ntile_ppl_buckets."""
+
+    def build(scored: DataFrame) -> DataFrame:
+        if not thresholds:
+            return scored.withColumn("ppl_bucket", F.lit("middle"))
+        head = F.create_map(
+            *itertools.chain.from_iterable(
+                (F.lit(lang), F.lit(h)) for lang, h, _ in thresholds
+            )
+        )
+        mid = F.create_map(
+            *itertools.chain.from_iterable(
+                (F.lit(lang), F.lit(m)) for lang, _, m in thresholds
+            )
+        )
+        h = head[F.col("lang")]
+        m = mid[F.col("lang")]
+        s = F.col("avg_logp10")
+        return scored.withColumn(
+            "ppl_bucket",
+            F.when(h.isNull(), F.lit("middle"))
+            .when(s >= h, F.lit("head"))
+            .when(s >= m, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+
+    return build
+
+
+def derive_ppl_thresholds(
+    quality: DataFrame,
+) -> tuple[tuple[str, float, float], ...]:
+    """Pin per-language thresholds from a batch (ntile) quality table:
+    head_min = the lowest score ntile placed in head, middle_min likewise.
+    Tiny driver collect — one row per language."""
+    rows = (
+        quality.groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("ppl_bucket") == "head", F.col("avg_logp10"))
+            ).alias("h"),
+            F.min(
+                F.when(F.col("ppl_bucket") == "middle", F.col("avg_logp10"))
+            ).alias("m"),
+        )
+        .collect()
+    )
+    return tuple(
+        sorted(
+            (
+                r["lang"],
+                float(r["h"]),
+                float(r["m"]) if r["m"] is not None else float("inf"),
+            )
+            for r in rows
+        )
+    )
+
+
+@dataclass
+class CurationState:
+    art: CurationArtifacts
+    nd: NearDupState
+    #: (content_key, doc_id) — first-seen canonical per exact-dup key
+    content_keys: DataFrame
+    #: (doc_id,) — docs currently live in the packed stream
+    shipped: DataFrame
+    #: pack_chunk_map rows + batch column, LIVE docs only:
+    #: (doc_id, n_tokens, global_start, first_chunk, last_chunk, n_chunks, batch)
+    chunk_map: DataFrame
+    batch_no: int
+
+    def compact(self) -> "CurationState":
+        """Fold segment stacks into single checkpointed leaves (LSM
+        posture — O(corpus), run periodically, not per batch)."""
+        return replace(
+            self,
+            nd=self.nd.compact(),
+            content_keys=_snap(self.content_keys),
+            shipped=_snap(self.shipped),
+            chunk_map=_snap(self.chunk_map),
+        )
+
+
+def _chunk_membership(chunk_map: DataFrame) -> DataFrame:
+    """(batch, chunk_id, doc_id) incidence rows from the interval map —
+    a doc contributes ≤ n_tokens/capacity + 1 rows."""
+    return chunk_map.select(
+        "batch",
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+        "doc_id",
+    )
+
+
+class IncrementalCuration:
+    """init() once, then delta() per crawl batch. Checkpoints every
+    stage under b{n:04d}_<stage>; returns per-batch additions, removals
+    and chunk tombstones — the upsert a downstream consumer applies."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        run_id: str = "cur_incr0",
+        config: CurationConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CurationConfig()
+        if self.cfg.select_k is not None:
+            raise ValueError(
+                "incremental curation needs select_frac or no selection: "
+                "select_k is a global top-k — a per-batch decision cannot "
+                "honor it (a later batch's doc can evict an earlier pick)"
+            )
+        self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
+        self.state: CurationState | None = None
+
+    # -- shared per-doc stages -------------------------------------------
+
+    def _decontam_filter(
+        self, docs: DataFrame, holdout: DataFrame | None
+    ) -> DataFrame:
+        if holdout is None:
+            return docs
+        verdict = decontaminate(
+            docs,
+            holdout,
+            id_col="doc_id",
+            text_col="text",
+            n=self.cfg.decontam_n,
+            min_hits=self.cfg.decontam_min_hits,
+        )
+        return docs.join(
+            verdict.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+
+    def _nd_cfg(self) -> NearDupConfig:
+        c = self.cfg
+        return NearDupConfig(
+            shingle_k=c.shingle_k,
+            num_perm=c.num_perm,
+            bands=c.bands,
+            jaccard_threshold=c.jaccard_threshold,
+            max_bucket=c.max_bucket,
+        )
+
+    def _pack(self, docs: DataFrame, batch: int):
+        """Encode with the pinned BPE artifacts and pack into THIS
+        batch's self-contained stream. Returns (chunks, map_rows,
+        packed_ids); zero-token docs are excluded (they cannot occupy
+        the packed stream — the pack_sequences contract)."""
+        art = self.state.art if self.state else None
+        merges, vocab = (
+            (art.bpe_merges, art.bpe_vocab)
+            if art is not None
+            else (self._merges, self._vocab)
+        )
+        ids = _snap(
+            bpe_encode_ids(docs, "doc_id", "text", merges, vocab).filter(
+                F.size("token_ids") > 0
+            )
+        )
+        salt = f"pack:b{batch:04d}"
+        m = _snap(
+            pack_chunk_map(
+                ids, capacity=self.cfg.seq_len, salt=salt
+            ).withColumn("batch", F.lit(batch))
+        )
+        chunks = chunks_from_map(
+            m.drop("batch"), ids, capacity=self.cfg.seq_len
+        ).withColumn("batch", F.lit(batch))
+        return chunks, m, ids.select("doc_id")
+
+    # -- init --------------------------------------------------------------
+
+    def init(
+        self, docs: DataFrame, holdout: DataFrame | None = None
+    ) -> DataFrame:
+        """Batch-build state from the initial corpus (the b0000 run);
+        returns the packed-chunk table."""
+        if self.state is not None:
+            raise ValueError("init() already ran — use delta() for new batches")
+        cfg, ck = self.cfg, self.ckpt
+        hygiene = ck.write("b0000_hygiene", hygiene_stage(docs, cfg))
+        lm = None
+        if cfg.keep_ppl_buckets:
+            lm = cfg.lm or fit_stupid_backoff_distributed(hygiene)
+        quality = ck.write(
+            "b0000_quality", quality_audit(hygiene, cfg, lm, ntile_ppl_buckets)
+        )
+        thresholds = (
+            derive_ppl_thresholds(quality) if cfg.keep_ppl_buckets else ()
+        )
+        kept = quality.filter(F.col("keep")).select(*_DOC_COLS)
+        groups = exact_dup_groups(kept, "doc_id", "text")
+        survivors = kept.join(
+            groups.filter(~F.col("is_canonical")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        content_keys = _snap(
+            groups.filter(F.col("is_canonical")).select("content_key", "doc_id")
+        )
+        nd = near_dup_init(survivors, "doc_id", "text", self._nd_cfg())
+        corpus = ck.write("b0000_dedup", near_dup_emit(nd))
+        decon = ck.write(
+            "b0000_decontam", self._decontam_filter(corpus, holdout)
+        )
+        dsir_wt = dsir_thr = None
+        selected = decon
+        if cfg.select_frac is not None:
+            dsir_wt = fit_dsir_weights(
+                _counts_py(list(cfg.dsir_target_texts), DIM),
+                raw_counts_distributed(decon),
+            )
+            scored = dsir_score_docs(decon, dsir_wt)
+            if cfg.select_frac < 1.0:
+                dsir_thr = int(
+                    scored.approxQuantile(
+                        "logratio_micro", [1.0 - cfg.select_frac], 0.001
+                    )[0]
+                )
+            else:
+                dsir_thr = None
+            top = scored.select("doc_id", "logratio_micro")
+            if dsir_thr is not None:
+                top = top.filter(F.col("logratio_micro") >= F.lit(dsir_thr))
+            selected = decon.join(top, "doc_id").select(
+                *[F.col(c) for c in decon.columns], "logratio_micro"
+            )
+        selected = ck.write("b0000_selected", selected)
+        # BPE artifacts fit on the shipped corpus (the batch-pipeline rule)
+        freqs = bpe_word_freqs_distributed(selected)
+        self._merges = fit_bpe_merges(freqs, cfg.bpe_merges)
+        self._vocab = build_vocab(self._merges, {ch for w in freqs for ch in w})
+        chunks, chunk_map, shipped = self._pack(
+            selected.select("doc_id", "text"), batch=0
+        )
+        chunks = ck.write("b0000_chunks", chunks)
+        self.state = CurationState(
+            art=CurationArtifacts(
+                lm=lm,
+                ppl_thresholds=thresholds,
+                dsir_wt=dsir_wt,
+                dsir_thr_micro=dsir_thr,
+                bpe_merges=self._merges,
+                bpe_vocab=self._vocab,
+            ),
+            nd=nd,
+            content_keys=content_keys,
+            shipped=_snap(shipped),
+            chunk_map=chunk_map,
+            batch_no=1,
+        )
+        return chunks
+
+    # -- delta --------------------------------------------------------------
+
+    def delta(
+        self,
+        delta_docs: DataFrame,
+        holdout: DataFrame | None = None,
+        check_new_ids: bool = False,
+        max_closure_iters: int = 64,
+    ) -> dict[str, DataFrame]:
+        """Process one new crawl batch. Returns the consumer's upsert:
+        additions (new shipped docs), removals (doc ids leaving the
+        corpus), tombstones (batch, chunk_id pairs a consumer deletes)
+        and chunks (this batch's new stream, which also re-packs live
+        docs displaced by tombstoned chunks)."""
+        if self.state is None:
+            raise ValueError("run init() before delta()")
+        st, cfg, ck = self.state, self.cfg, self.ckpt
+        art = st.art
+        n = st.batch_no
+        tag = f"b{n:04d}"
+
+        hyg = ck.write(f"{tag}_hygiene", hygiene_stage(delta_docs, cfg))
+        qual = ck.write(
+            f"{tag}_quality",
+            quality_audit(
+                hyg, cfg, art.lm, fixed_ppl_buckets(art.ppl_thresholds)
+            ),
+        )
+        kept = qual.filter(F.col("keep")).select(*_DOC_COLS)
+
+        # exact dedup vs state: first-seen-wins. Delta-keyed: the state
+        # table is only ever probed with the delta's keys.
+        keyed = kept.withColumn(
+            "content_key", F.md5(normalize_text("text"))
+        )
+        fresh = keyed.join(
+            st.content_keys.select("content_key"), "content_key", "left_anti"
+        )
+        canon = fresh.groupBy("content_key").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        survivors = fresh.join(
+            canon, ["content_key", "doc_id"], "left_semi"
+        ).select(*_DOC_COLS)
+        new_keys = _snap(canon.select("content_key", "doc_id"))
+
+        nd2 = near_dup_delta(st.nd, survivors, check_new_ids=check_new_ids)
+        upsert = _snap(near_dup_emit(nd2, only_touched=True))
+        ck.write(f"{tag}_dedup", upsert)
+
+        # removals: previously shipped docs in a touched cluster that are
+        # no longer survivors (absorbed by a merge). Touched membership =
+        # clustered members of touched clusters + the touched ids
+        # themselves (singletons have no assign row).
+        touched = nd2.touched_clusters
+        touched_members = (
+            nd2.assign.join(F.broadcast(touched), "cluster_id", "left_semi")
+            .select("doc_id")
+            .unionByName(touched.withColumnRenamed("cluster_id", "doc_id"))
+            .dropDuplicates(["doc_id"])
+        )
+        upsert_ids = upsert.select("doc_id")
+        removals = _snap(
+            st.shipped.join(touched_members, "doc_id", "left_semi").join(
+                upsert_ids, "doc_id", "left_anti"
+            )
+        )
+
+        # additions: upsert survivors not already shipped, through the
+        # pinned decontam + DSIR gates
+        additions_raw = upsert.join(st.shipped, "doc_id", "left_anti")
+        decon = ck.write(
+            f"{tag}_decontam", self._decontam_filter(additions_raw, holdout)
+        )
+        add = decon
+        if art.dsir_wt is not None:
+            scored = dsir_score_docs(decon, art.dsir_wt)
+            if art.dsir_thr_micro is not None:
+                scored = scored.filter(
+                    F.col("logratio_micro") >= F.lit(art.dsir_thr_micro)
+                )
+            add = decon.join(
+                scored.select("doc_id", "logratio_micro"), "doc_id"
+            ).select(*[F.col(c) for c in decon.columns], "logratio_micro")
+        add = ck.write(f"{tag}_selected", add)
+
+        # chunk repair: closure of the shares-a-chunk relation seeded by
+        # the removals. Each iteration is two semi-joins against the
+        # (checkpointed) chunk map, delta-seeded; the loop runs until the
+        # affected set stops growing — component diameter iterations in
+        # the worst case, 1–2 in practice.
+        affected = removals
+        n_aff = affected.count()
+        if n_aff > 0:
+            membership = _snap(_chunk_membership(st.chunk_map))
+            for _ in range(max_closure_iters):
+                hit_chunks = membership.join(
+                    affected, "doc_id", "left_semi"
+                ).select("batch", "chunk_id")
+                grown = _snap(
+                    membership.join(
+                        hit_chunks.dropDuplicates(["batch", "chunk_id"]),
+                        ["batch", "chunk_id"],
+                        "left_semi",
+                    )
+                    .select("doc_id")
+                    .dropDuplicates(["doc_id"])
+                )
+                n_grown = grown.count()
+                if n_grown == n_aff:
+                    break
+                affected, n_aff = grown, n_grown
+            else:
+                raise RuntimeError(
+                    "chunk-repair closure did not converge in "
+                    f"{max_closure_iters} iterations"
+                )
+            tombstones = _snap(
+                membership.join(affected, "doc_id", "left_semi")
+                .select("batch", "chunk_id")
+                .dropDuplicates(["batch", "chunk_id"])
+            )
+        else:
+            tombstones = _snap(
+                st.chunk_map.select("batch", "first_chunk").limit(0).select(
+                    "batch", F.col("first_chunk").alias("chunk_id")
+                )
+            )
+
+        # re-emit: affected docs that are still live get their FULL token
+        # arrays repacked into this batch's stream (their old chunks are
+        # tombstoned above)
+        reemit_ids = affected.join(removals, "doc_id", "left_anti")
+        reemit_docs = (
+            nd2.docs.join(reemit_ids, "doc_id", "left_semi")
+            .select("doc_id", "text")
+        )
+        pack_in = add.select("doc_id", "text").unionByName(reemit_docs)
+        chunks, new_map, packed_ids = self._pack(pack_in, batch=n)
+        chunks = ck.write(f"{tag}_chunks", chunks)
+
+        new_add_ids = _snap(packed_ids.join(reemit_ids, "doc_id", "left_anti"))
+        self.state = CurationState(
+            art=art,
+            nd=nd2,
+            content_keys=st.content_keys.unionByName(new_keys),
+            shipped=st.shipped.join(removals, "doc_id", "left_anti").unionByName(
+                new_add_ids
+            ),
+            chunk_map=st.chunk_map.join(
+                affected, "doc_id", "left_anti"
+            ).unionByName(new_map),
+            batch_no=n + 1,
+        )
+        return {
+            "upsert": upsert,
+            "additions": add.join(new_add_ids, "doc_id", "left_semi"),
+            "removals": removals,
+            "tombstones": tombstones,
+            "chunks": chunks,
+        }
+
+    # -- consumers ----------------------------------------------------------
+
+    def live_chunks(self) -> DataFrame:
+        """Every non-tombstoned chunk across all batch streams — the
+        current training set. A chunk is live iff the chunk map still
+        references it (repair re-packs every doc of a tombstoned chunk,
+        so live chunks contain only live docs)."""
+        if self.state is None:
+            raise ValueError("run init() first")
+        all_chunks = None
+        for b in range(self.state.batch_no):
+            t = self.ckpt.read(f"b{b:04d}_chunks")
+            all_chunks = t if all_chunks is None else all_chunks.unionByName(t)
+        live = _chunk_membership(self.state.chunk_map).dropDuplicates(
+            ["batch", "chunk_id"]
+        )
+        return all_chunks.join(live, ["batch", "chunk_id"], "left_semi")
