@@ -264,6 +264,69 @@ def _bench_curation(spark) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _bench_incremental_curation(spark) -> dict:
+    """The r6 second-pass end product: one recurring-crawl step of the
+    FULL curation DAG (pinned artifacts, incremental exact+LSH dedup,
+    group-bounded chunk repair) vs the batch pipeline's rerun cost over
+    the same final corpus. init is the one-time state build; delta is
+    the recurring per-batch cost a crawl pipeline actually pays."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dig_entity_resolution_spark.operators.dedup import release_caches
+    from dig_entity_resolution_spark.plans.curation import (
+        CurationConfig,
+        CurationPipeline,
+    )
+    from dig_entity_resolution_spark.plans.curation_incremental import (
+        IncrementalCuration,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    delta = docs.orderBy("doc_id").limit(100).localCheckpoint(eager=True)
+    base = docs.join(
+        delta.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    cfg = CurationConfig(seq_len=128, bpe_merges=40)
+    wh1, wh2 = (
+        tempfile.mkdtemp(prefix="bench_icur_"),
+        tempfile.mkdtemp(prefix="bench_bcur_"),
+    )
+    try:
+        t0 = time.time()
+        bpipe = CurationPipeline(spark, wh2, "bench", cfg)
+        bpipe.run(docs).write.format("noop").mode("overwrite").save()
+        batch_wall = time.time() - t0
+        release_caches()
+        inc = IncrementalCuration(spark, wh1, "bench", cfg)
+        t0 = time.time()
+        inc.init(base)
+        init_wall = time.time() - t0
+        t0 = time.time()
+        out = inc.delta(delta)
+        counts = {
+            k: out[k].count() for k in ("additions", "removals", "tombstones")
+        }
+        delta_wall = time.time() - t0
+        release_caches()
+        return {
+            "n_docs": docs.count(),
+            "batch_rerun_sec": round(batch_wall, 3),
+            "state_init_sec": round(init_wall, 3),
+            "delta_100docs_sec": round(delta_wall, 3),
+            "delta_counts": counts,
+        }
+    finally:
+        shutil.rmtree(wh1, ignore_errors=True)
+        shutil.rmtree(wh2, ignore_errors=True)
+
+
 def _ensure_corpus() -> str:
     from dig_entity_resolution_spark.synth import generate_corpus
 
@@ -388,6 +451,7 @@ def main() -> None:
     if not FAST:
         result["incr_near_dup"] = _bench_incremental_near_dup(spark)
         result["curation"] = _bench_curation(spark)
+        result["incr_curation"] = _bench_incremental_curation(spark)
     spark.stop()
     # CPU-control sample taken in the same minutes as part 1: cross-round
     # part-1 comparisons divide by this to cancel shared-VM drift (the r2

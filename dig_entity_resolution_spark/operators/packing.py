@@ -202,6 +202,99 @@ def pack_chunk_map(
     )
 
 
+def pack_chunk_map_grouped(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    capacity: int = 2048,
+    salt: str = "pack",
+    group_hex: int = 2,
+) -> DataFrame:
+    """pack_chunk_map, but docs are md5-bucketed into 16^group_hex
+    INDEPENDENT packing streams: chunk numbering restarts per group
+    (chunk_id = group * 2^40 + local index, with global_start in the
+    same virtual coordinates, so chunks_from_map's slice arithmetic
+    works verbatim) and a chunk NEVER crosses groups.
+
+    This is the removability-friendly layout the incremental curation
+    pipeline packs with: in a single concat-and-chunk stream every chunk
+    boundary is typically crossed by some doc, so the shares-a-chunk
+    component of one removed doc is the WHOLE stream and exact repair
+    means repacking everything. Grouped streams bound that component by
+    construction — removing a doc invalidates at most its group's
+    chunks (docs/16^group_hex of the batch) — at the price of one
+    underfilled tail chunk per group, negligible once groups hold many
+    docs. It is also the better 100 TB shape: the running sum is an
+    ordinary window partitioned by group (no cross-group offset join at
+    all), parallelism = #groups.
+
+    group_hex=0 degenerates to ONE stream (pack_chunk_map's layout with
+    per-group repair semantics) — a test/debug shape; capped at 5 so
+    group * 2^40 stays far inside int64 under ANSI overflow checks.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if not 0 <= group_hex <= 5:
+        raise ValueError(f"group_hex must be in [0, 5], got {group_hex}")
+    ord_key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"pack_chunk_map_grouped: NULL {id_col}")),
+    ).otherwise(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    )
+    counted = F.when(
+        F.col(ids_col).isNull(),
+        F.raise_error(F.lit(f"pack_chunk_map_grouped: NULL {ids_col}")),
+    ).otherwise(F.size(F.col(ids_col)).cast("long"))
+    n_tok = F.when(
+        counted <= 0,
+        F.raise_error(
+            F.lit(
+                "pack_chunk_map_grouped: non-positive token count — filter "
+                "zero-token docs out before packing"
+            )
+        ).cast("long"),
+    ).otherwise(counted)
+    grp = (
+        F.conv(F.substring("_ord", 1, group_hex), 16, 10).cast("long")
+        if group_hex > 0
+        else F.lit(0).cast("long")
+    )
+    base = ids_df.select(
+        F.col(id_col), ord_key.alias("_ord"), n_tok.alias("n_tokens")
+    ).withColumn("pack_group", grp)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base_chunk = F.col("pack_group") * F.lit(1 << 40)
+    out = (
+        base.withColumn("_lend", F.sum("n_tokens").over(w))
+        .withColumn("_lstart", F.col("_lend") - F.col("n_tokens"))
+        .withColumn(
+            "global_start", base_chunk * F.lit(capacity) + F.col("_lstart")
+        )
+        .withColumn(
+            "first_chunk", base_chunk + F.expr(f"_lstart div {capacity}")
+        )
+        .withColumn(
+            "last_chunk", base_chunk + F.expr(f"(_lend - 1) div {capacity}")
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        "global_start",
+        "first_chunk",
+        "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + F.lit(1)).alias(
+            "n_chunks"
+        ),
+        "pack_group",
+    )
+
+
 def chunks_from_map(
     packed: DataFrame,
     ids_df: DataFrame,

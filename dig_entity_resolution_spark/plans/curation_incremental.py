@@ -36,14 +36,17 @@ adding docs can MERGE old clusters (a previously-kept canonical is
 absorbed → leaves the corpus) and cap-crossing buckets can retract
 edges and SPLIT clusters (previously-dropped docs re-emerge). A removed
 doc's tokens sit in packed chunks, and chunk boundaries don't align
-with doc boundaries — so the repair unit is the connected component of
-the "shares a chunk" relation: tombstone every chunk of the affected
-component, re-emit the component's still-live docs in the current
-batch's new stream. The closure loop is delta-seeded and bounded by
-component size (typically the removed doc's immediate chunk neighbours;
-worst case one batch's stream, never another batch's). Token coverage
+with doc boundaries — in a single concat-and-chunk stream the
+shares-a-chunk component of one removed doc is typically the WHOLE
+stream (every boundary is crossed by some doc), so exact repair would
+repack everything. The incremental packer therefore uses
+pack_chunk_map_grouped: each batch packs into 16^group_hex independent
+md5-group streams, so the repair unit is the GROUP — tombstone the
+removed docs' groups' chunks, re-emit those groups' still-live docs in
+the current batch's new stream. One join, no closure loop, repair cost
+≤ (#removed groups) × (batch docs / 16^group_hex). Token coverage
 stays EXACT: every live doc's ids appear exactly once across live
-chunks (pinned by test_chunk_coverage_after_removals).
+chunks (pinned by test_chunk_coverage_after_merge_removal).
 
 Like NearDupState, the state is session-lifetime (lazy unions of
 localCheckpoint'd segments; new rows snap per batch, `compact()` folds
@@ -87,7 +90,7 @@ from ..operators.dedup_incremental import (
     near_dup_emit,
     near_dup_init,
 )
-from ..operators.packing import chunks_from_map, pack_chunk_map
+from ..operators.packing import chunks_from_map, pack_chunk_map_grouped
 from .checkpoint import ParquetCheckpoint
 from .curation import (
     CurationConfig,
@@ -189,8 +192,9 @@ class CurationState:
     content_keys: DataFrame
     #: (doc_id,) — docs currently live in the packed stream
     shipped: DataFrame
-    #: pack_chunk_map rows + batch column, LIVE docs only:
-    #: (doc_id, n_tokens, global_start, first_chunk, last_chunk, n_chunks, batch)
+    #: pack_chunk_map_grouped rows + batch column, LIVE docs only:
+    #: (doc_id, n_tokens, global_start, first_chunk, last_chunk,
+    #:  n_chunks, pack_group, batch)
     chunk_map: DataFrame
     batch_no: int
 
@@ -227,9 +231,11 @@ class IncrementalCuration:
         warehouse: str,
         run_id: str = "cur_incr0",
         config: CurationConfig | None = None,
+        group_hex: int = 2,
     ):
         self.spark = spark
         self.cfg = config or CurationConfig()
+        self.group_hex = group_hex
         if self.cfg.select_k is not None:
             raise ValueError(
                 "incremental curation needs select_frac or no selection: "
@@ -288,8 +294,11 @@ class IncrementalCuration:
         )
         salt = f"pack:b{batch:04d}"
         m = _snap(
-            pack_chunk_map(
-                ids, capacity=self.cfg.seq_len, salt=salt
+            pack_chunk_map_grouped(
+                ids,
+                capacity=self.cfg.seq_len,
+                salt=salt,
+                group_hex=self.group_hex,
             ).withColumn("batch", F.lit(batch))
         )
         chunks = chunks_from_map(
@@ -387,7 +396,6 @@ class IncrementalCuration:
         delta_docs: DataFrame,
         holdout: DataFrame | None = None,
         check_new_ids: bool = False,
-        max_closure_iters: int = 64,
     ) -> dict[str, DataFrame]:
         """Process one new crawl batch. Returns the consumer's upsert:
         additions (new shipped docs), removals (doc ids leaving the
@@ -466,48 +474,27 @@ class IncrementalCuration:
             ).select(*[F.col(c) for c in decon.columns], "logratio_micro")
         add = ck.write(f"{tag}_selected", add)
 
-        # chunk repair: closure of the shares-a-chunk relation seeded by
-        # the removals. Each iteration is two semi-joins against the
-        # (checkpointed) chunk map, delta-seeded; the loop runs until the
-        # affected set stops growing — component diameter iterations in
-        # the worst case, 1–2 in practice.
-        affected = removals
-        n_aff = affected.count()
-        if n_aff > 0:
-            membership = _snap(_chunk_membership(st.chunk_map))
-            for _ in range(max_closure_iters):
-                hit_chunks = membership.join(
-                    affected, "doc_id", "left_semi"
-                ).select("batch", "chunk_id")
-                grown = _snap(
-                    membership.join(
-                        hit_chunks.dropDuplicates(["batch", "chunk_id"]),
-                        ["batch", "chunk_id"],
-                        "left_semi",
-                    )
-                    .select("doc_id")
-                    .dropDuplicates(["doc_id"])
-                )
-                n_grown = grown.count()
-                if n_grown == n_aff:
-                    break
-                affected, n_aff = grown, n_grown
-            else:
-                raise RuntimeError(
-                    "chunk-repair closure did not converge in "
-                    f"{max_closure_iters} iterations"
-                )
-            tombstones = _snap(
-                membership.join(affected, "doc_id", "left_semi")
-                .select("batch", "chunk_id")
-                .dropDuplicates(["batch", "chunk_id"])
-            )
-        else:
-            tombstones = _snap(
-                st.chunk_map.select("batch", "first_chunk").limit(0).select(
-                    "batch", F.col("first_chunk").alias("chunk_id")
-                )
-            )
+        # chunk repair, group-bounded by the pack layout: a removed doc
+        # invalidates its (batch, pack_group) streams; every live doc of
+        # those groups re-packs into this batch's new stream. One join,
+        # no closure loop — removed_groups is bounded by the removals, so
+        # the broadcast is delta-sized (the notes-#34 rule satisfied).
+        removed_groups = (
+            st.chunk_map.join(removals, "doc_id", "left_semi")
+            .select("batch", "pack_group")
+            .dropDuplicates(["batch", "pack_group"])
+        )
+        affected_rows = st.chunk_map.join(
+            F.broadcast(removed_groups), ["batch", "pack_group"], "left_semi"
+        )
+        affected = _snap(
+            affected_rows.select("doc_id").dropDuplicates(["doc_id"])
+        )
+        tombstones = _snap(
+            _chunk_membership(affected_rows)
+            .select("batch", "chunk_id")
+            .dropDuplicates(["batch", "chunk_id"])
+        )
 
         # re-emit: affected docs that are still live get their FULL token
         # arrays repacked into this batch's stream (their old chunks are

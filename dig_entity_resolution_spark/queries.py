@@ -3268,6 +3268,62 @@ def q_video_frame_samples(spark, sf_dir):
     return video_frame_samples(synth_assets(spark, n=48), every_ms=500)
 
 
+# -- Incremental curation (recurring-crawl delta; r6) -------------------------
+
+
+@_q("curation_incremental", None)
+def q_curation_incremental(spark, sf_dir):
+    """One recurring-crawl step of the incremental curation DAG
+    (plans/curation_incremental.py): init on ~80% of `documents`, one
+    delta batch with the remaining ~20%, returning the per-doc change
+    report (op ∈ add/remove + dedup lineage) plus one tombstone-count
+    row. Rows-only by design: the pipeline is stateful/multi-job (LSH
+    state, checkpoints, closure loop) — its ingredients are each
+    hash-verified (exact_dedup, near_dup_clusters, bpe_encode_ids,
+    packed_chunk_ids, decontamination), and batch-equality plus exact
+    token coverage under removals are pinned by
+    tests/test_curation_incremental.py. Deterministic: md5 split,
+    pinned artifacts, no RNG."""
+    import tempfile
+
+    from .plans.curation import CurationConfig
+    from .plans.curation_incremental import IncrementalCuration
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    split = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5))
+    cfg = CurationConfig(
+        min_ws_tokens=3,
+        use_classifier=True,
+        keep_ppl_buckets=(),
+        jaccard_threshold=0.5,
+        bpe_merges=20,
+        seq_len=64,
+    )
+    inc = IncrementalCuration(
+        spark, tempfile.mkdtemp(prefix="cur_incr_q"), "q", cfg
+    )
+    inc.init(d.filter(split < 4))
+    out = inc.delta(d.filter(split >= 4))
+    adds = out["additions"].select(
+        F.lit("add").alias("op"), "doc_id", "dup_cluster_id", "n_merged"
+    )
+    id_t = adds.schema["doc_id"].dataType
+    cl_t = adds.schema["dup_cluster_id"].dataType
+    removes = out["removals"].select(
+        F.lit("remove").alias("op"),
+        "doc_id",
+        F.lit(None).cast(cl_t).alias("dup_cluster_id"),
+        F.lit(None).cast("long").alias("n_merged"),
+    )
+    tombs = out["tombstones"].agg(
+        F.lit("tombstones").alias("op"),
+        F.lit(None).cast(id_t).alias("doc_id"),
+        F.lit(None).cast(cl_t).alias("dup_cluster_id"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )
+    return adds.unionByName(removes).unionByName(tombs)
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------

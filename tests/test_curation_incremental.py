@@ -191,12 +191,12 @@ def test_chunk_coverage_after_merge_removal(spark, tmp_path):
 
 
 def test_repack_reemits_coresident_docs(spark, tmp_path):
-    """seq_len=8 packs several docs per chunk, so removing one doc
-    tombstones chunks holding OTHERS' tokens — the closure must repack
-    those co-residents into the new batch stream, keeping coverage
-    exact."""
+    """group_hex=0 forces ONE packing stream and seq_len=8 packs several
+    docs per chunk, so removing one doc tombstones the whole group's
+    chunks — the repair must repack every co-resident into the new batch
+    stream, keeping coverage exact."""
     cfg = CurationConfig(**CFG)
-    inc = IncrementalCuration(spark, str(tmp_path), "co", cfg)
+    inc = IncrementalCuration(spark, str(tmp_path), "co", cfg, group_hex=0)
     # shingle-disjoint small docs (distinct letter families, so none of
     # them near-dup each other) that pack several-per-chunk at seq_len=8
     rows = [
@@ -212,8 +212,12 @@ def test_repack_reemits_coresident_docs(spark, tmp_path):
     bridge = " ".join(_A.split()[:6] + _B.split()[:6])
     out = inc.delta(_docs(spark, [("d201", bridge, "en")]))
     assert [r.doc_id for r in out["removals"].collect()] == ["d102"]
-    # the batch-1 stream contains the re-emitted co-residents (if any
-    # shared d102's chunks) and nothing is lost
+    # single-group layout: EVERY batch-0 chunk is tombstoned and every
+    # live batch-0 doc re-packs into the batch-1 stream
+    assert {r.batch for r in out["tombstones"].collect()} == {0}
+    assert all(
+        r.batch == 1 for r in inc.state.chunk_map.select("batch").collect()
+    )
     recon = _reconstruct(inc)
     assert sorted(recon) == sorted(
         r.doc_id for r in inc.state.shipped.collect()

@@ -39,11 +39,12 @@ def test_rows_only_queries_register_last():
     )
     assert len(oracle_backed) == 61
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
-    # +dsir_resample_production (all rows-only); +lm_perplexity (gated,
-    # slot freed by demoting tfidf_top_terms to covered); +dsir_select,
-    # +ccnet_buckets (oracle-backed DEFERRED — the gate cap is full, they
-    # sort right after the prefix and verify via check_oracles)
-    assert len(names) == 72
+    # +dsir_resample_production, +curation_incremental (all rows-only);
+    # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
+    # covered); +dsir_select, +ccnet_buckets (oracle-backed DEFERRED —
+    # the gate cap is full, they sort right after the prefix and verify
+    # via check_oracles)
+    assert len(names) == 73
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     # deferred standalone entries come directly after the gate prefix
