@@ -248,3 +248,117 @@ def test_pack_chunks_rejects_empty_arrays(spark):
     with pytest.raises(Exception) as ei:
         pack_chunks(df, "doc_id", "token_ids", capacity=8).collect()
     assert "non-positive token count" in str(ei.value)
+
+
+# -- grouped packing streams (r6: removability-friendly layout) ---------------
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    rows = [(i, list(range(i % 7 + 1))) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+
+def test_grouped_map_group_hex_zero_equals_global_map(spark, ids_df):
+    """One group (group_hex=0) must reproduce pack_chunk_map exactly:
+    same order key, same prefix sum, base offset zero."""
+    from dig_entity_resolution_spark.operators.packing import (
+        pack_chunk_map,
+        pack_chunk_map_grouped,
+    )
+
+    want = {
+        r.doc_id: (r.global_start, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in pack_chunk_map(ids_df, capacity=8).collect()
+    }
+    got_rows = pack_chunk_map_grouped(ids_df, capacity=8, group_hex=0).collect()
+    got = {
+        r.doc_id: (r.global_start, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in got_rows
+    }
+    assert got == want
+    assert all(r.pack_group == 0 for r in got_rows)
+
+
+def test_grouped_map_streams_are_independent_and_exact(spark, ids_df):
+    """Per group: md5-ordered docs occupy a contiguous token stream from
+    position 0; chunks never cross groups; chunks_from_map reassembles
+    every doc's ids exactly from the virtual coordinates."""
+    from dig_entity_resolution_spark.operators.packing import (
+        chunks_from_map,
+        pack_chunk_map_grouped,
+    )
+
+    cap = 8
+    m = pack_chunk_map_grouped(ids_df, capacity=cap, group_hex=2)
+    rows = m.collect()
+    base = {r.doc_id: r for r in rows}
+    by_group: dict = {}
+    for r in rows:
+        assert r.first_chunk // (1 << 40) == r.pack_group
+        assert r.last_chunk // (1 << 40) == r.pack_group
+        assert r.global_start // cap >= r.pack_group * (1 << 40)
+        by_group.setdefault(r.pack_group, []).append(r)
+    for g, rs in by_group.items():
+        starts = sorted(r.global_start for r in rs)
+        # contiguous: starts begin at the group base and stack n_tokens
+        pos = g * (1 << 40) * cap
+        for s, r in zip(starts, sorted(rs, key=lambda r: r.global_start)):
+            assert s == pos
+            pos += r.n_tokens
+    chunks = {
+        r.chunk_id: list(r.token_ids)
+        for r in chunks_from_map(m, ids_df, capacity=cap).collect()
+    }
+    want = {r.doc_id: list(r.token_ids) for r in ids_df.collect()}
+    for doc_id, r in base.items():
+        flat = []
+        for c in range(r.first_chunk, r.last_chunk + 1):
+            flat.extend(chunks[c])
+        off = r.global_start - r.first_chunk * cap
+        assert flat[off : off + r.n_tokens] == want[doc_id], doc_id
+    # every chunk except each group's tail chunk is exactly full
+    tails = {max(r.last_chunk for r in rs) for rs in by_group.values()}
+    for cid, ids in chunks.items():
+        if cid not in tails:
+            assert len(ids) == cap
+
+
+def test_grouped_map_plan_and_guards(spark, ids_df):
+    """The grouped map is ONE group-partitioned window — no bucket-offset
+    broadcast join, no Python, and construction runs no job. Guards:
+    group_hex range, NULL id/ids, zero-token docs."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dig_entity_resolution_spark.operators.packing import (
+        pack_chunk_map_grouped,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = pack_chunk_map_grouped(ids_df, capacity=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "construction/explain ran a Spark job"
+    assert "Window" in plan
+    for bad in ("BroadcastHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad
+    with pytest.raises(ValueError):
+        pack_chunk_map_grouped(ids_df, capacity=8, group_hex=6)
+    with pytest.raises(ValueError):
+        pack_chunk_map_grouped(ids_df, capacity=0)
+    bad_id = spark.createDataFrame(
+        [(None, [1])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pack_chunk_map_grouped(bad_id, capacity=8).collect()
+    empty = spark.createDataFrame(
+        [(1, [])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="non-positive token count"):
+        pack_chunk_map_grouped(empty, capacity=8).collect()
