@@ -4,7 +4,8 @@ the webtext twin of run_pipeline.py (same launch contract):
     zip -r er_engine.zip dig_entity_resolution_spark
     spark-submit --py-files er_engine.zip run_curation.py \
         --input /path/documents_parquet --warehouse /path/wh --run-id C1 \
-        [--holdout /path/eval_parquet] [--select-k N] [--resume] [--no-pack]
+        [--holdout /path/eval_parquet] [--select-k N] [--resume] [--no-pack] \
+        [--deltas /path/crawl_b1,/path/crawl_b2]   # incremental mode
 
 Local sandbox run uses the same file (master defaults to local[*]).
 Prints a one-line JSON report: per-stage counters, survivor/chunk counts,
@@ -59,6 +60,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop after selection; skip BPE packing")
     p.add_argument("--bpe-merges", type=int, default=40)
     p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument(
+        "--deltas", default=None,
+        help="comma list of delta parquet paths: run the INCREMENTAL "
+        "pipeline — init on --input, then apply each delta batch in "
+        "order (plans/curation_incremental.py); reports per-batch "
+        "additions/removals/tombstones. Incompatible with --resume and "
+        "--select-k (use --select-frac)",
+    )
+    p.add_argument(
+        "--group-hex", type=int, default=2,
+        help="incremental packing stream granularity (16^n groups)",
+    )
     args = p.parse_args(argv)
 
     cfg = CurationConfig(
@@ -78,17 +91,51 @@ def main(argv: list[str] | None = None) -> int:
         seq_len=args.seq_len,
     )
     spark = build_session(app_name=f"curation-{args.run_id}")
-    pipe = CurationPipeline(spark, args.warehouse, args.run_id, cfg)
     docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
-    out = pipe.run(docs, holdout=holdout, resume=args.resume)
-    report = {
-        "run_id": args.run_id,
-        "resumed": args.resume,
-        "computed_stages": pipe.computed_stages,
-        "counters": pipe.report(),
-        "rows_out": out.count(),
-    }
+    if args.deltas:
+        if args.resume:
+            p.error("--deltas is incompatible with --resume")
+        from dig_entity_resolution_spark.plans.curation_incremental import (
+            IncrementalCuration,
+        )
+
+        inc = IncrementalCuration(
+            spark, args.warehouse, args.run_id, cfg, group_hex=args.group_hex
+        )
+        chunks = inc.init(docs, holdout=holdout)
+        batches = []
+        for path in (s.strip() for s in args.deltas.split(",")):
+            if not path:
+                continue
+            out = inc.delta(spark.read.parquet(path), holdout=holdout)
+            batches.append(
+                {
+                    "delta": path,
+                    "additions": out["additions"].count(),
+                    "removals": out["removals"].count(),
+                    "tombstones": out["tombstones"].count(),
+                    "new_chunks": out["chunks"].count(),
+                }
+            )
+        report = {
+            "run_id": args.run_id,
+            "mode": "incremental",
+            "init_chunks": chunks.count(),
+            "batches": batches,
+            "live_chunks": inc.live_chunks().count(),
+            "counters": inc.ckpt.counters(),
+        }
+    else:
+        pipe = CurationPipeline(spark, args.warehouse, args.run_id, cfg)
+        out = pipe.run(docs, holdout=holdout, resume=args.resume)
+        report = {
+            "run_id": args.run_id,
+            "resumed": args.resume,
+            "computed_stages": pipe.computed_stages,
+            "counters": pipe.report(),
+            "rows_out": out.count(),
+        }
     print(json.dumps(report))
     spark.stop()
     return 0

@@ -131,3 +131,63 @@ def test_spark_submit_curation_end_to_end(tmp_path):
     assert c["hygiene"] == c["quality"]  # audit table is unfiltered
     assert c["dedup"] <= c["quality"]
     assert report["rows_out"] == c["chunks"] > 0
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_curation_incremental(tmp_path):
+    """--deltas routes run_curation.py through IncrementalCuration: init
+    on the input, one delta batch, per-batch change report."""
+    import pyarrow.parquet as pq
+
+    from tools.package import build
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(t.slice(0, 400), str(tmp_path / "init.parquet"))
+    pq.write_table(t.slice(400), str(tmp_path / "delta.parquet"))
+    zip_path = build(str(tmp_path / "er_engine.zip"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "run_curation.py"),
+            "--input",
+            str(tmp_path / "init.parquet"),
+            "--deltas",
+            str(tmp_path / "delta.parquet"),
+            "--warehouse",
+            str(tmp_path / "wh"),
+            "--run-id",
+            "incr_smoke",
+            "--keep-ppl-buckets",
+            "",
+            "--seq-len",
+            "64",
+            "--bpe-merges",
+            "10",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["mode"] == "incremental"
+    assert report["init_chunks"] > 0
+    (b,) = report["batches"]
+    assert b["additions"] >= 0 and b["new_chunks"] >= 0
+    assert report["live_chunks"] > 0
+    # both batch namespaces checkpointed
+    assert any(k.startswith("b0000_") for k in report["counters"])
+    assert any(k.startswith("b0001_") for k in report["counters"])
