@@ -225,9 +225,15 @@ def synth_image_corpus(
     """
     from .jpeg_codec import encode_jpeg
     from .multimodal import encode_png
+    from .webp_codec import encode_webp_lossless
 
     rng = np.random.default_rng(seed)
-    enc = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}[fmt]
+    enc = {
+        "bmp": encode_bmp,
+        "png": encode_png,
+        "jpeg": encode_jpeg,
+        "webp": lambda im: encode_webp_lossless(im, subtract_green=True),
+    }[fmt]
     rows = []
     for g in range(n_groups):
         base = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)

@@ -22,10 +22,14 @@ Codec reality in this sandbox (no Pillow/libav):
   * mp4/mp3 CONTAINERS parse for real (r6, operators/media_container.py):
     ISO-BMFF sample tables and MPEG audio framing are pure binary specs —
     frame sampling extracts the actual coded frame bytes at each tick.
-    The coded bytes themselves (VP8/H.264/MDCT) are the remaining codec
-    gate, alongside webp: `decode_image_real` raises NotImplementedError
-    there, and feature extraction falls back to a deterministic
-    byte-histogram so the pipeline shape stays exercised end-to-end.
+  * lossless WebP (VP8L) decodes for real (r6 second pass,
+    operators/webp_codec.py): LSB-first bitstream, canonical prefix
+    codes, LZ77 + color cache, subtract-green/predictor inverse
+    transforms. The remaining codec gate is LOSSY media — webp VP8/VP8X
+    and the mp4/mp3 coded bytes (video-intra/MDCT codecs):
+    `decode_image_real` raises NotImplementedError there, and feature
+    extraction falls back to a deterministic byte-histogram so the
+    pipeline shape stays exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -291,10 +295,12 @@ _JPEG_SOI = b"\xff\xd8"
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode an image payload. BMP, PNG, and baseline JPEG decode for
-    real (pure numpy; PNG inflates via stdlib zlib; JPEG is the SOF0
-    4:4:4 huffman+IDCT decoder in operators/jpeg_codec.py — r6); webp
-    genuinely needs codec libraries absent from this sandbox."""
+    """Decode an image payload. BMP, PNG, baseline JPEG, and lossless
+    WebP (VP8L) decode for real (pure numpy; PNG inflates via stdlib
+    zlib; JPEG is the SOF0 4:4:4 huffman+IDCT decoder in
+    operators/jpeg_codec.py — r6; VP8L is operators/webp_codec.py — r6
+    second pass). Only LOSSY webp (VP8/VP8X — a video-intra codec)
+    still needs a codec library absent from this sandbox."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -303,10 +309,14 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_codec import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "compressed image decode (webp) requires an imaging library not "
-        "present in this environment; BMP, PNG, and baseline JPEG decode "
-        "natively"
+        "unknown image container; BMP, PNG, baseline JPEG, and lossless "
+        "WebP decode natively (lossy VP8/VP8X webp needs an imaging "
+        "library not present in this environment)"
     )
 
 
@@ -316,6 +326,7 @@ def _decodable_image(payload: bytes) -> bool:
         payload[:2] == b"BM"
         or payload[:8] == _PNG_SIG
         or payload[:2] == _JPEG_SOI
+        or (payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L")
     )
 
 

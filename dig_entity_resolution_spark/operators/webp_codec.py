@@ -1,0 +1,762 @@
+"""Lossless WebP (VP8L) codec in pure numpy/python — shrinks the last
+image-decode gate (multimodal.decode_image_real previously raised for
+every RIFF/WEBP payload).
+
+Everything here derives from the public "WebP Lossless Bitstream
+Specification": RIFF container, LSB-first bitstream, canonical prefix
+codes (simple + normal with RLE-coded code lengths), LZ77 backward
+references with the length/distance prefix scheme, the color cache, and
+the subtract-green / predictor inverse transforms.
+
+Scope — decoder (any stream WITHIN this subset decodes; outside it, a
+loud ValueError, the decode_png malformed-or-unsupported contract):
+  * single huffman group (no meta-huffman entropy image),
+  * transforms: SUBTRACT_GREEN and PREDICTOR (all 14 modes);
+    COLOR_TRANSFORM and COLOR_INDEXING are rejected,
+  * distance codes > 120 (plain distances). Codes 1..120 index the
+    spec's 120-entry 2D proximity table, which is a verbatim constant
+    list in the spec document; with no offline copy of that table and no
+    codec library in this sandbox to validate a reconstruction against,
+    guessing it would risk SILENTLY wrong pixels — rejected loudly
+    instead. The pinned encoder only emits plain distances.
+  * color cache: full support (hash 0x1e35a7bd, 1..11 bits).
+
+Interop caveat, stated honestly: no imaging library and no external
+.webp fixture exists in this environment, so cross-implementation
+byte-exactness cannot be verified here. Exactness is pinned the same
+way as the JPEG codec (operators/jpeg_codec.py): a deterministic pinned
+encoder writes spec-shaped streams and decode(encode(x)) must be
+BYTE-EXACT for every supported feature combination; edge conventions
+the spec text leaves to the reader (top-right pixel at the rightmost
+column; integer division toward zero in ClampAddSubtractHalf) are
+documented at their implementation sites.
+
+Bomb bounds mirror decode_png/decode_jpeg: the 14-bit header dimensions
+are capped against _WEBP_MAX_BYTES BEFORE any allocation, and the bit
+reader raises on exhaustion (truncated payloads can't spin).
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+#: hard cap on decoded pixel bytes (256 MB) — the multimodal posture
+_WEBP_MAX_BYTES = 1 << 28
+
+#: code-length-code symbol order (spec §"Decoding the code lengths")
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_NUM_LENGTH_PREFIXES = 24
+_CACHE_MULT = 0x1E35A7BD
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit IO
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def bit(self, b: int) -> None:
+        self._bits.append(b & 1)
+
+    def bits(self, value: int, n: int) -> None:
+        """n-bit little-endian value (first written bit = LSB)."""
+        for i in range(n):
+            self._bits.append((value >> i) & 1)
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix-code bits go MSB first (the canonical-code convention)."""
+        for i in range(length - 1, -1, -1):
+            self._bits.append((code >> i) & 1)
+
+    def done(self) -> bytes:
+        out = bytearray()
+        acc = n = 0
+        for b in self._bits:
+            acc |= b << n
+            n += 1
+            if n == 8:
+                out.append(acc)
+                acc = n = 0
+        if n:
+            out.append(acc)
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0  # bit position
+
+    def bit(self) -> int:
+        p = self._pos
+        if p >> 3 >= len(self._d):
+            raise ValueError("webp: truncated VP8L bitstream")
+        self._pos = p + 1
+        return (self._d[p >> 3] >> (p & 7)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+def _balanced_lengths(counts: dict[int, int], limit: int) -> dict[int, int]:
+    """Complete code with every used symbol at depth L or L-1 (Kraft
+    equality by construction); most frequent symbols get the short
+    lengths. Deterministic fallback when the Huffman tree exceeds the
+    format's depth limit."""
+    syms = sorted(counts, key=lambda s: (-counts[s], s))
+    n = len(syms)
+    L = max(1, (n - 1).bit_length())
+    if L > limit:
+        raise ValueError("alphabet too large for depth limit")
+    m = (1 << L) - n  # symbols promoted to L-1
+    return {
+        s: (L - 1 if i < m and L > 1 else L) for i, s in enumerate(syms)
+    }
+
+
+def _huff_lengths(counts: dict[int, int], limit: int) -> dict[int, int]:
+    """Code lengths from symbol counts: Huffman (deterministic tie-break
+    by symbol id), falling back to the balanced complete code if any
+    length would exceed `limit`. Single-symbol alphabets get length 0
+    (the zero-bit code both the simple-code path and the spec's
+    degenerate reads use)."""
+    used = {s: c for s, c in counts.items() if c > 0}
+    if not used:
+        raise ValueError("empty histogram")
+    if len(used) == 1:
+        return {next(iter(used)): 0}
+    heap = [(c, s, s) for s, c in sorted(used.items())]
+    heapq.heapify(heap)
+    parent: dict[int, tuple] = {}
+    nxt = -1
+    while len(heap) > 1:
+        c1, _, n1 = heapq.heappop(heap)
+        c2, _, n2 = heapq.heappop(heap)
+        parent[nxt] = (n1, n2)
+        heapq.heappush(heap, (c1 + c2, nxt, nxt))
+        nxt -= 1
+    lengths: dict[int, int] = {}
+
+    def walk(node, depth):
+        if node in parent:
+            a, b = parent[node]
+            walk(a, depth + 1)
+            walk(b, depth + 1)
+        else:
+            lengths[node] = max(1, depth)
+
+    walk(heap[0][2], 0)
+    if max(lengths.values()) > limit:
+        return _balanced_lengths(used, limit)
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """DEFLATE canonical assignment: codes in order of (length, symbol)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        if ln == 0:
+            out[sym] = (0, 0)
+            continue
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+class _HuffDecoder:
+    """Walks the bitstream one bit at a time against the canonical map.
+    A single-symbol (length-0) code reads zero bits, per the simple-code
+    semantics."""
+
+    def __init__(self, lengths: dict[int, int]) -> None:
+        nz = {s: l for s, l in lengths.items() if l > 0}
+        if not nz:
+            if len(lengths) != 1:
+                raise ValueError("webp: empty prefix code")
+            self._single = next(iter(lengths))
+            self._by_code: dict[tuple[int, int], int] = {}
+            return
+        if len(nz) == 1 and len(lengths) == 1:
+            self._single = next(iter(nz))
+            self._by_code = {}
+            return
+        # completeness (Kraft) — an over/under-subscribed code is malformed
+        kraft = sum(2 ** -l for l in nz.values())
+        if abs(kraft - 1.0) > 1e-12:
+            raise ValueError("webp: prefix code is not complete")
+        self._single = None
+        self._by_code = {
+            (ln, code): sym
+            for sym, (code, ln) in _canonical_codes(nz).items()
+            if ln > 0
+        }
+        self._max_len = max(l for l in nz.values())
+
+    def read(self, r: _BitReader) -> int:
+        if self._single is not None:
+            return self._single
+        code = 0
+        for ln in range(1, self._max_len + 1):
+            code = (code << 1) | r.bit()
+            sym = self._by_code.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("webp: invalid prefix code in stream")
+
+
+# ---------------------------------------------------------------------------
+# prefix (length/distance) value coding
+# ---------------------------------------------------------------------------
+
+
+def _prefix_decode(code: int, r: _BitReader) -> int:
+    """LZ77 length/distance value from its prefix code + extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """(code, extra_bits_value, extra_bits_count) for value >= 1."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= value <= offset + (1 << extra):
+            return code, value - offset - 1, extra
+    raise ValueError(f"value {value} out of prefix-code range")
+
+
+# ---------------------------------------------------------------------------
+# huffman code (de)serialization
+# ---------------------------------------------------------------------------
+
+
+def _write_huffman_code(w: _BitWriter, lengths: dict[int, int], n_sym: int):
+    nz = sorted(s for s, l in lengths.items() if l > 0) or sorted(lengths)
+    if len(nz) <= 2 and max(nz) <= 255:
+        # simple code
+        w.bit(1)
+        w.bit(len(nz) - 1)
+        first_8bit = 1 if nz[0] > 1 else 0
+        w.bit(first_8bit)
+        w.bits(nz[0], 8 if first_8bit else 1)
+        if len(nz) == 2:
+            w.bits(nz[1], 8)
+        return
+    w.bit(0)  # normal code
+    # histogram of code-LENGTH values across the full alphabet (we emit
+    # one length literal per symbol — no 16/17/18 repeats)
+    hist: dict[int, int] = {}
+    for s in range(n_sym):
+        v = lengths.get(s, 0)
+        hist[v] = hist.get(v, 0) + 1
+    if len(hist) == 1:
+        # a one-symbol clc would read zero bits per emission — pad with a
+        # second (never-emitted) length value so both get 1-bit codes
+        only = next(iter(hist))
+        hist[0 if only != 0 else 1] = 1
+    clc_len = _huff_lengths(hist, 7)
+    codes = _canonical_codes(clc_len)
+    w.bits(19 - 4, 4)  # num_code_lengths = 19
+    for sym in _CLC_ORDER:
+        w.bits(clc_len.get(sym, 0), 3)
+    w.bit(0)  # no explicit max_symbol
+    for s in range(n_sym):
+        code, ln = codes[lengths.get(s, 0)]
+        assert ln > 0  # every occurring length value has a real clc code
+        w.code(code, ln)
+
+
+def _read_huffman_code(r: _BitReader, n_sym: int) -> _HuffDecoder:
+    if r.bit():  # simple
+        n = r.bit() + 1
+        first_8bit = r.bit()
+        s0 = r.bits(8 if first_8bit else 1)
+        if n == 1:
+            return _HuffDecoder({s0: 0})
+        s1 = r.bits(8)
+        if s0 == s1:
+            raise ValueError("webp: duplicate symbol in simple code")
+        return _HuffDecoder({s0: 1, s1: 1})
+    num_clc = 4 + r.bits(4)
+    clc_len = {}
+    for i in range(num_clc):
+        clc_len[_CLC_ORDER[i]] = r.bits(3)
+    clc = _HuffDecoder({s: l for s, l in clc_len.items() if l > 0} or clc_len)
+    if r.bit():  # explicit max symbol
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = n_sym
+    lengths: dict[int, int] = {}
+    i = 0
+    prev_nz = 8
+    while i < n_sym:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = clc.read(r)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_nz = s
+        elif s == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if i < n_sym:
+                    lengths[i] = prev_nz
+                    i += 1
+        elif s == 17:
+            i += 3 + r.bits(3)
+        else:  # 18
+            i += 11 + r.bits(7)
+    return _HuffDecoder({s: l for s, l in lengths.items() if l > 0})
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded ARGB image (main image and transform sub-images)
+# ---------------------------------------------------------------------------
+
+
+def _decode_entropy_image(
+    r: _BitReader, w: int, h: int, level0: bool = False
+) -> np.ndarray:
+    """One spatially-coded ARGB image with a single huffman group —
+    returns uint8 (h, w, 4) in ARGB channel order. The meta-huffman
+    bit exists only at level 0 (the main image); transform sub-images
+    never carry it."""
+    cache_bits = 0
+    if r.bit():
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"webp: invalid color cache bits {cache_bits}")
+    cache = (
+        np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
+    )
+    if level0 and r.bit():
+        raise ValueError(
+            "webp: meta-huffman entropy images are outside this decoder's "
+            "verified subset (see module docstring)"
+        )
+    n_green = 256 + _NUM_LENGTH_PREFIXES + (1 << cache_bits if cache_bits else 0)
+    green = _read_huffman_code(r, n_green)
+    red = _read_huffman_code(r, 256)
+    blue = _read_huffman_code(r, 256)
+    alpha = _read_huffman_code(r, 256)
+    dist = _read_huffman_code(r, 40)
+
+    px = np.zeros(w * h, dtype=np.uint32)
+    i = 0
+
+    def _cache_insert(argb: int) -> None:
+        if cache is not None:
+            cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    while i < w * h:
+        s = green.read(r)
+        if s < 256:
+            a = alpha.read(r)
+            rr = red.read(r)
+            bb = blue.read(r)
+            argb = (a << 24) | (rr << 16) | (s << 8) | bb
+            px[i] = argb
+            _cache_insert(argb)
+            i += 1
+        elif s < 256 + _NUM_LENGTH_PREFIXES:
+            length = _prefix_decode(s - 256, r)
+            dcode = _prefix_decode(dist.read(r), r)
+            if dcode <= 120:
+                raise ValueError(
+                    "webp: 2D-proximity distance codes (<=120) are outside "
+                    "this decoder's verified subset (see module docstring)"
+                )
+            d = dcode - 120
+            if d <= 0 or d > i or i + length > w * h:
+                raise ValueError("webp: LZ77 reference out of range")
+            for _ in range(length):
+                px[i] = px[i - d]
+                _cache_insert(int(px[i]))
+                i += 1
+        else:
+            if cache is None:
+                raise ValueError("webp: cache symbol without color cache")
+            px[i] = cache[s - 256 - _NUM_LENGTH_PREFIXES]
+            i += 1
+    argb = px.reshape(h, w)
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    out[:, :, 0] = (argb >> 24) & 0xFF
+    out[:, :, 1] = (argb >> 16) & 0xFF
+    out[:, :, 2] = (argb >> 8) & 0xFF
+    out[:, :, 3] = argb & 0xFF
+    return out
+
+
+def _encode_entropy_image(
+    w: _BitWriter,
+    argb: np.ndarray,
+    cache_bits: int = 0,
+    backrefs: bool = False,
+    level0: bool = False,
+) -> None:
+    """Pinned encoder for one ARGB image: literals, optional distance-1
+    run backrefs (plain-distance codes), optional color cache."""
+    h_px, w_px, _ = argb.shape
+    flat = (
+        argb[:, :, 0].astype(np.uint32) << 24
+        | argb[:, :, 1].astype(np.uint32) << 16
+        | argb[:, :, 2].astype(np.uint32) << 8
+        | argb[:, :, 3].astype(np.uint32)
+    ).reshape(-1)
+
+    # tokenize: (kind, payload) with kind in {lit, run, cache}
+    tokens: list[tuple] = []
+    cache = np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
+    cache_used = np.zeros(1 << cache_bits, dtype=bool) if cache_bits else None
+    i = 0
+    n = len(flat)
+    while i < n:
+        v = int(flat[i])
+        if backrefs and i > 0 and v == int(flat[i - 1]):
+            run = 1
+            while i + run < n and int(flat[i + run]) == v:
+                run += 1
+            tokens.append(("run", run))
+            if cache is not None:
+                idx = (_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)
+                cache[idx] = v
+                cache_used[idx] = True
+            i += run
+            continue
+        if cache is not None:
+            idx = (_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache_used[idx] and int(cache[idx]) == v:
+                tokens.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = v
+            cache_used[idx] = True
+        tokens.append(("lit", v))
+        i += 1
+
+    n_green = 256 + _NUM_LENGTH_PREFIXES + (1 << cache_bits if cache_bits else 0)
+    gc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    bc: dict[int, int] = {}
+    ac: dict[int, int] = {}
+    dc: dict[int, int] = {}
+    for kind, p in tokens:
+        if kind == "lit":
+            gc[(p >> 8) & 0xFF] = gc.get((p >> 8) & 0xFF, 0) + 1
+            ac[(p >> 24) & 0xFF] = ac.get((p >> 24) & 0xFF, 0) + 1
+            rc[(p >> 16) & 0xFF] = rc.get((p >> 16) & 0xFF, 0) + 1
+            bc[p & 0xFF] = bc.get(p & 0xFF, 0) + 1
+        elif kind == "run":
+            code, _, _ = _prefix_encode(p)
+            gc[256 + code] = gc.get(256 + code, 0) + 1
+            dcode, _, _ = _prefix_encode(121)  # plain distance 1
+            dc[dcode] = dc.get(dcode, 0) + 1
+        else:
+            gc[256 + _NUM_LENGTH_PREFIXES + p] = (
+                gc.get(256 + _NUM_LENGTH_PREFIXES + p, 0) + 1
+            )
+    for c in (gc, rc, bc, ac, dc):
+        if not c:
+            c[0] = 1  # unused alphabet: emit a 1-symbol code
+
+    w.bit(1 if cache_bits else 0)
+    if cache_bits:
+        w.bits(cache_bits, 4)
+    if level0:
+        w.bit(0)  # no meta-huffman (single group; level 0 only)
+    tables = {}
+    for key, counts, n_sym in (
+        ("g", gc, n_green),
+        ("r", rc, 256),
+        ("b", bc, 256),
+        ("a", ac, 256),
+        ("d", dc, 40),
+    ):
+        lens = _huff_lengths(counts, 15)
+        _write_huffman_code(w, lens, n_sym)
+        tables[key] = _canonical_codes(lens)
+
+    def emit(tbl, sym):
+        code, ln = tables[tbl][sym]
+        if ln:
+            w.code(code, ln)
+
+    for kind, p in tokens:
+        if kind == "lit":
+            emit("g", (p >> 8) & 0xFF)
+            emit("r", (p >> 16) & 0xFF)
+            emit("b", p & 0xFF)
+            emit("a", (p >> 24) & 0xFF)
+        elif kind == "run":
+            code, extra, nbits = _prefix_encode(p)
+            emit("g", 256 + code)
+            w.bits(extra, nbits)
+            dcode, dextra, dnbits = _prefix_encode(121)
+            emit("d", dcode)
+            w.bits(dextra, dnbits)
+        else:
+            emit("g", 256 + _NUM_LENGTH_PREFIXES + p)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int32) + b.astype(np.int32)) // 2
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One predicted ARGB pixel (int32[4]) from its neighbours."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        pL = int(np.abs(p - L).sum())
+        pT = int(np.abs(p - T).sum())
+        return L if pL < pT else T
+    if mode == 12:
+        return np.clip(
+            L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32),
+            0,
+            255,
+        )
+    if mode == 13:
+        x = _avg2(L, T)
+        # integer division truncating toward zero (C semantics)
+        half = np.fix((x - TL.astype(np.int32)) / 2).astype(np.int32)
+        return np.clip(x + half, 0, 255)
+    raise ValueError(f"webp: invalid predictor mode {mode}")
+
+
+def _neighbours(img: np.ndarray, y: int, x: int):
+    """(L, T, TL, TR) with the spec's edge rules: row 0 uses predictor L
+    only and column 0 uses T only (enforced by the caller's mode
+    override); TR at the rightmost column falls back to T (documented
+    convention — see module docstring)."""
+    h, w, _ = img.shape
+    L = img[y, x - 1].astype(np.int32) if x > 0 else None
+    T = img[y - 1, x].astype(np.int32) if y > 0 else None
+    TL = img[y - 1, x - 1].astype(np.int32) if (x > 0 and y > 0) else None
+    TR = (
+        img[y - 1, x + 1].astype(np.int32)
+        if (y > 0 and x + 1 < w)
+        else (T if T is not None else None)
+    )
+    return L, T, TL, TR
+
+
+def _effective_mode(mode: int, y: int, x: int) -> int:
+    if y == 0 and x == 0:
+        return 0
+    if y == 0:
+        return 1  # only L exists
+    if x == 0:
+        return 2  # only T exists
+    return mode
+
+
+def _predictor_apply(img: np.ndarray, modes: np.ndarray, size_bits: int,
+                     inverse: bool) -> np.ndarray:
+    """Forward (encode: residuals) or inverse (decode: reconstruct) of
+    the predictor transform. `modes` is the (block) sub-image's GREEN
+    channel."""
+    h, w, _ = img.shape
+    out = np.zeros_like(img)
+    src = out if inverse else img  # predictions always read RECONSTRUCTED
+    for y in range(h):
+        for x in range(w):
+            mode = _effective_mode(
+                int(modes[y >> size_bits, x >> size_bits]), y, x
+            )
+            L, T, TL, TR = _neighbours(src, y, x)
+            pred = _predict(mode, L, T, TL, TR)
+            if inverse:
+                out[y, x] = (img[y, x].astype(np.int32) + pred) % 256
+            else:
+                out[y, x] = (img[y, x].astype(np.int32) - pred) % 256
+    return out
+
+
+def _subtract_green(argb: np.ndarray, inverse: bool) -> np.ndarray:
+    out = argb.astype(np.int32)
+    g = out[:, :, 2]
+    sign = 1 if inverse else -1
+    out[:, :, 1] = (out[:, :, 1] + sign * g) % 256
+    out[:, :, 3] = (out[:, :, 3] + sign * g) % 256
+    return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def encode_webp_lossless(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    predictor: int | None = None,
+    cache_bits: int = 0,
+    backrefs: bool = False,
+) -> bytes:
+    """Pinned deterministic VP8L encoder (the fixture source — same role
+    as jpeg_codec.encode_jpeg). img is uint8 RGB (h, w, 3); alpha is
+    encoded opaque. At most one transform (subtract_green XOR
+    predictor); predictor applies ONE mode uniformly via a single-symbol
+    sub-image."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_webp_lossless expects uint8 (h, w, 3) RGB")
+    if subtract_green and predictor is not None:
+        raise ValueError("pinned encoder writes at most one transform")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp: dimensions out of VP8L range")
+    argb = np.zeros((h, w, 4), dtype=np.uint8)
+    argb[:, :, 0] = 255
+    argb[:, :, 1] = img[:, :, 0]
+    argb[:, :, 2] = img[:, :, 1]
+    argb[:, :, 3] = img[:, :, 2]
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bit(0)  # alpha hint
+    bw.bits(0, 3)  # version
+    if subtract_green:
+        bw.bit(1)
+        bw.bits(2, 2)  # SUBTRACT_GREEN
+        argb = _subtract_green(argb, inverse=False)
+    if predictor is not None:
+        if not 0 <= predictor <= 13:
+            raise ValueError("predictor mode must be 0..13")
+        bw.bit(1)
+        bw.bits(0, 2)  # PREDICTOR
+        size_bits = 9  # one 512px block covers any fixture-sized image
+        bw.bits(size_bits - 2, 3)
+        bw_w = (w + (1 << size_bits) - 1) >> size_bits
+        bw_h = (h + (1 << size_bits) - 1) >> size_bits
+        modes = np.full((bw_h, bw_w), predictor, dtype=np.uint8)
+        sub = np.zeros((bw_h, bw_w, 4), dtype=np.uint8)
+        sub[:, :, 2] = modes  # predictor id travels in GREEN
+        argb = _predictor_apply(argb, modes, size_bits, inverse=False)
+        _encode_entropy_image(bw, sub)
+    bw.bit(0)  # end of transforms
+    _encode_entropy_image(
+        bw, argb, cache_bits=cache_bits, backrefs=backrefs, level0=True
+    )
+    payload = b"\x2f" + bw.done()
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless (VP8L) WebP payload to uint8 RGB (h, w, 3).
+    Lossy VP8 / extended VP8X streams raise NotImplementedError (they
+    need a full video-intra codec); malformed or out-of-subset VP8L
+    raises ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP payload")
+    fourcc = payload[12:16]
+    if fourcc in (b"VP8 ", b"VP8X"):
+        raise NotImplementedError(
+            "lossy/extended webp (VP8/VP8X) requires a video-intra codec "
+            "library not present in this environment; lossless VP8L "
+            "decodes natively"
+        )
+    if fourcc != b"VP8L":
+        raise ValueError(f"webp: unknown chunk {fourcc!r}")
+    (size,) = struct.unpack("<I", payload[16:20])
+    data = payload[20 : 20 + size]
+    if len(data) < size or not data or data[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature or truncated chunk")
+    r = _BitReader(data[1:])
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bit()  # alpha hint (advisory)
+    if r.bits(3) != 0:
+        raise ValueError("webp: unknown VP8L version")
+    if 4 * w * h > _WEBP_MAX_BYTES:
+        raise ValueError(f"webp: declared {w}x{h} exceeds decode cap")
+
+    transforms: list[tuple] = []
+    seen = set()
+    while r.bit():
+        t = r.bits(2)
+        if t in seen:
+            raise ValueError("webp: repeated transform")
+        seen.add(t)
+        if t == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green",))
+        elif t == 0:  # PREDICTOR
+            size_bits = r.bits(3) + 2
+            bw_w = (w + (1 << size_bits) - 1) >> size_bits
+            bw_h = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(r, bw_w, bw_h)
+            transforms.append(("predictor", size_bits, sub[:, :, 2]))
+        else:
+            raise ValueError(
+                "webp: COLOR_TRANSFORM / COLOR_INDEXING are outside this "
+                "decoder's verified subset (see module docstring)"
+            )
+    argb = _decode_entropy_image(r, w, h, level0=True)
+    for tr in reversed(transforms):
+        if tr[0] == "subtract_green":
+            argb = _subtract_green(argb, inverse=True)
+        else:
+            _, size_bits, modes = tr
+            argb = _predictor_apply(argb, modes, size_bits, inverse=True)
+    return argb[:, :, 1:4].copy()  # RGB

@@ -44,11 +44,13 @@ def test_hash_pure_function_properties():
         # within-group pHash distances reach 6 (cross-group stays ≥ 18) —
         # wider threshold, pHash (resize/noise-robust by construction)
         ("jpeg", "phash", 8),
+        # lossless webp (VP8L) decodes bit-exact → dHash like bmp/png
+        ("webp", "dhash", 3),
     ],
 )
 def test_planted_groups_recovered(spark, fmt, fp_col, max_h):
     """Perceptual hashing + banded blocking recovers exactly the planted
-    near-dup groups through the real codec for all three formats."""
+    near-dup groups through the real codec for all four formats."""
     assets = synth_image_corpus(spark, fmt=fmt)
     pairs = image_near_dup_pairs(
         assets, max_hamming=max_h, fp_col=fp_col

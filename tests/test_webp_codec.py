@@ -1,0 +1,134 @@
+"""Lossless WebP (VP8L) codec (operators/webp_codec.py): byte-exact
+decode(encode(x)) roundtrips across every supported feature combination,
+malformed/bomb rejection, and the decode_image_real wiring. No Spark
+session needed — pure numpy."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dig_entity_resolution_spark.operators.webp_codec import (
+    _BitReader,
+    _BitWriter,
+    _prefix_decode,
+    _prefix_encode,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def _rng_img(h, w, seed=7, palette=None):
+    rng = np.random.RandomState(seed)
+    if palette is None:
+        return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    pal = np.array(palette, dtype=np.uint8)
+    return pal[rng.randint(0, len(pal), size=(h, w))]
+
+
+def test_roundtrip_literals():
+    for img in (
+        np.full((5, 7, 3), 123, dtype=np.uint8),
+        np.tile(np.arange(16, dtype=np.uint8)[None, :, None] * 16, (9, 1, 3)),
+        _rng_img(12, 11),
+    ):
+        out = decode_webp(encode_webp_lossless(img))
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert np.array_equal(out, img)
+
+
+def test_roundtrip_color_cache_and_backrefs():
+    # few distinct colors + long runs: exercises cache hits, LZ77 run
+    # tokens, and their cache interaction
+    img = _rng_img(16, 16, seed=3, palette=[(255, 0, 0), (0, 128, 255), (9, 9, 9)])
+    img[4:9, :] = (9, 9, 9)  # a long run
+    for kw in (
+        dict(cache_bits=4),
+        dict(backrefs=True),
+        dict(cache_bits=6, backrefs=True),
+    ):
+        out = decode_webp(encode_webp_lossless(img, **kw))
+        assert np.array_equal(out, img), kw
+    # cache/backref streams are SMALLER than pure literals on this input
+    assert len(encode_webp_lossless(img, cache_bits=6, backrefs=True)) < len(
+        encode_webp_lossless(img)
+    )
+
+
+def test_roundtrip_subtract_green():
+    img = _rng_img(10, 13, seed=11)
+    out = decode_webp(encode_webp_lossless(img, subtract_green=True))
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_every_predictor_mode(mode):
+    img = _rng_img(9, 8, seed=mode + 1)
+    out = decode_webp(encode_webp_lossless(img, predictor=mode))
+    assert np.array_equal(out, img), f"predictor {mode}"
+
+
+def test_roundtrip_single_pixel_and_single_row():
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3)):
+        img = _rng_img(*shape[:2])
+        assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+
+
+def test_prefix_code_roundtrip():
+    for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 120, 121, 1000, 123456]:
+        code, extra, nbits = _prefix_encode(v)
+        w = _BitWriter()
+        w.bits(extra, nbits)
+        r = _BitReader(w.done() + b"\x00")
+        assert _prefix_decode(code, r) == v
+
+
+def test_rejects_malformed():
+    good = encode_webp_lossless(_rng_img(6, 6))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"JUNK" + good[4:])
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(good[:12] + b"VP8 " + good[16:])
+    with pytest.raises(ValueError):
+        decode_webp(good[:20] + b"\x00" + good[21:])  # bad signature byte
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(good[:-6])
+    # nonzero version bits
+    bad = bytearray(good)
+    bad[20 + 4] |= 0xE0  # version field lives in bits 29..31 after sig
+    with pytest.raises(ValueError):
+        decode_webp(bytes(bad))
+
+
+def test_bomb_dimensions_rejected_before_allocation():
+    # hand-build a header claiming 16384x16384 (4 GiB decoded) — must be
+    # rejected by the byte cap before any pixel allocation
+    w = _BitWriter()
+    w.bits((1 << 14) - 1, 14)
+    w.bits((1 << 14) - 1, 14)
+    w.bit(0)
+    w.bits(0, 3)
+    payload = b"\x2f" + w.done() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_webp(blob)
+
+
+def test_decode_image_real_webp_wiring():
+    from dig_entity_resolution_spark.operators.multimodal import (
+        _decodable_image,
+        decode_image_real,
+    )
+
+    img = _rng_img(8, 8, seed=5)
+    blob = encode_webp_lossless(img, subtract_green=True, cache_bits=4)
+    assert _decodable_image(blob)
+    assert np.array_equal(decode_image_real(blob), img)
+    lossy = blob[:12] + b"VP8 " + blob[16:]
+    assert not _decodable_image(lossy)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(lossy)
