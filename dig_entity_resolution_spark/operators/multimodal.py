@@ -427,7 +427,10 @@ def thumbnail_images(assets: DataFrame, out_h: int = 16, out_w: int = 16) -> Dat
         for pdf in batches:
             ids, thumbs = [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None or not _decodable_image(bytes(payload[:8])):
+                # 16-byte probe: the webp arm checks bytes 8..16
+                # (review r6: an 8-byte prefix silently excluded webp
+                # from thumbnails while extract_features decoded it)
+                if payload is None or not _decodable_image(bytes(payload[:16])):
                     continue
                 try:
                     img = decode_image_real(bytes(payload))

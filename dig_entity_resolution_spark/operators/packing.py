@@ -229,13 +229,25 @@ def pack_chunk_map_grouped(
     all), parallelism = #groups.
 
     group_hex=0 degenerates to ONE stream (pack_chunk_map's layout with
-    per-group repair semantics) — a test/debug shape; capped at 5 so
-    group * 2^40 stays far inside int64 under ANSI overflow checks.
+    per-group repair semantics) — a test/debug shape. The virtual
+    coordinate space is (16^group_hex) * 2^40 * capacity, validated
+    against int64 below (e.g. capacity 2048 admits group_hex <= 2,
+    capacity 128 admits group_hex <= 3).
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     if not 0 <= group_hex <= 5:
         raise ValueError(f"group_hex must be in [0, 5], got {group_hex}")
+    # virtual coordinates reach (16^group_hex) * 2^40 * capacity — that
+    # product must stay inside int64 or ANSI mode throws mid-job (and a
+    # non-ANSI engine would silently wrap; review r6: group_hex=4 with
+    # the default capacity 2048 overflows)
+    if (1 << (4 * group_hex)) * (1 << 40) * capacity > (1 << 62):
+        raise ValueError(
+            f"group_hex={group_hex} with capacity={capacity} overflows the "
+            "virtual chunk coordinates (need 16^group_hex * 2^40 * capacity "
+            "<= 2^62) — lower group_hex or capacity"
+        )
     ord_key = F.when(
         F.col(id_col).isNull(),
         F.raise_error(F.lit(f"pack_chunk_map_grouped: NULL {id_col}")),

@@ -46,6 +46,13 @@ import numpy as np
 #: hard cap on decoded pixel bytes (256 MB) — the multimodal posture
 _WEBP_MAX_BYTES = 1 << 28
 
+#: hard cap on decoded PIXELS. Unlike the vectorized PNG/JPEG paths this
+#: decoder's pixel and predictor loops are per-pixel python, so the byte
+#: cap alone leaves a CPU bomb: a hostile 8192x8192 predictor stream
+#: passes 256 MB yet costs ~67M python iterations (review r6). 4M pixels
+#: (2048x2048) bounds decode to seconds.
+_WEBP_MAX_PIXELS = 1 << 22
+
 #: code-length-code symbol order (spec §"Decoding the code lengths")
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
@@ -380,9 +387,12 @@ def _decode_entropy_image(
     while i < w * h:
         s = green.read(r)
         if s < 256:
-            a = alpha.read(r)
+            # spec emission order: green, red, blue, alpha (the
+            # encoder's order; review r6: the draft read alpha first,
+            # masked only by the opaque zero-bit alpha code)
             rr = red.read(r)
             bb = blue.read(r)
+            a = alpha.read(r)
             argb = (a << 24) | (rr << 16) | (s << 8) | bb
             px[i] = argb
             _cache_insert(argb)
@@ -443,7 +453,9 @@ def _encode_entropy_image(
         v = int(flat[i])
         if backrefs and i > 0 and v == int(flat[i - 1]):
             run = 1
-            while i + run < n and int(flat[i + run]) == v:
+            # 4096 is the largest length the 24 length-prefix codes can
+            # carry (code 23: 3072 + 2^10); longer runs split (review r6)
+            while i + run < n and run < 4096 and int(flat[i + run]) == v:
                 run += 1
             tokens.append(("run", run))
             if cache is not None:
@@ -719,6 +731,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
         )
     if fourcc != b"VP8L":
         raise ValueError(f"webp: unknown chunk {fourcc!r}")
+    if len(payload) < 20:
+        raise ValueError("webp: truncated RIFF header")
     (size,) = struct.unpack("<I", payload[16:20])
     data = payload[20 : 20 + size]
     if len(data) < size or not data or data[0] != 0x2F:
@@ -729,7 +743,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
     r.bit()  # alpha hint (advisory)
     if r.bits(3) != 0:
         raise ValueError("webp: unknown VP8L version")
-    if 4 * w * h > _WEBP_MAX_BYTES:
+    if 4 * w * h > _WEBP_MAX_BYTES or w * h > _WEBP_MAX_PIXELS:
         raise ValueError(f"webp: declared {w}x{h} exceeds decode cap")
 
     transforms: list[tuple] = []

@@ -3284,6 +3284,7 @@ def q_curation_incremental(spark, sf_dir):
     token coverage under removals are pinned by
     tests/test_curation_incremental.py. Deterministic: md5 split,
     pinned artifacts, no RNG."""
+    import shutil
     import tempfile
 
     from .plans.curation import CurationConfig
@@ -3299,29 +3300,36 @@ def q_curation_incremental(spark, sf_dir):
         bpe_merges=20,
         seq_len=64,
     )
-    inc = IncrementalCuration(
-        spark, tempfile.mkdtemp(prefix="cur_incr_q"), "q", cfg
-    )
-    inc.init(d.filter(split < 4))
-    out = inc.delta(d.filter(split >= 4))
-    adds = out["additions"].select(
-        F.lit("add").alias("op"), "doc_id", "dup_cluster_id", "n_merged"
-    )
-    id_t = adds.schema["doc_id"].dataType
-    cl_t = adds.schema["dup_cluster_id"].dataType
-    removes = out["removals"].select(
-        F.lit("remove").alias("op"),
-        "doc_id",
-        F.lit(None).cast(cl_t).alias("dup_cluster_id"),
-        F.lit(None).cast("long").alias("n_merged"),
-    )
-    tombs = out["tombstones"].agg(
-        F.lit("tombstones").alias("op"),
-        F.lit(None).cast(id_t).alias("doc_id"),
-        F.lit(None).cast(cl_t).alias("dup_cluster_id"),
-        F.count(F.lit(1)).cast("long").alias("n_merged"),
-    )
-    return adds.unionByName(removes).unionByName(tombs)
+    wh = tempfile.mkdtemp(prefix="cur_incr_q")
+    try:
+        inc = IncrementalCuration(spark, wh, "q", cfg)
+        inc.init(d.filter(split < 4))
+        out = inc.delta(d.filter(split >= 4))
+        adds = out["additions"].select(
+            F.lit("add").alias("op"), "doc_id", "dup_cluster_id", "n_merged"
+        )
+        id_t = adds.schema["doc_id"].dataType
+        cl_t = adds.schema["dup_cluster_id"].dataType
+        removes = out["removals"].select(
+            F.lit("remove").alias("op"),
+            "doc_id",
+            F.lit(None).cast(cl_t).alias("dup_cluster_id"),
+            F.lit(None).cast("long").alias("n_merged"),
+        )
+        tombs = out["tombstones"].agg(
+            F.lit("tombstones").alias("op"),
+            F.lit(None).cast(id_t).alias("doc_id"),
+            F.lit(None).cast(cl_t).alias("dup_cluster_id"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        result = adds.unionByName(removes).unionByName(tombs)
+        # the change report reads CHECKPOINTED stages, so materialize the
+        # (small, delta-sized) rows before deleting the temp warehouse —
+        # otherwise every registry sweep leaks a full stage set in /tmp
+        # (review r6)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

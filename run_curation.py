@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         help="incremental packing stream granularity (16^n groups)",
     )
     args = p.parse_args(argv)
+    if args.deltas:  # validate BEFORE the session spins up
+        if args.resume:
+            p.error("--deltas is incompatible with --resume")
+        if args.select_k is not None:
+            p.error(
+                "--deltas is incompatible with --select-k (global top-k is "
+                "not an incremental decision; use --select-frac)"
+            )
+        if args.no_pack:
+            p.error(
+                "--deltas requires packing (the chunk map is incremental "
+                "state); drop --no-pack"
+            )
 
     cfg = CurationConfig(
         min_ws_tokens=args.min_ws_tokens,
@@ -94,8 +107,6 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
     if args.deltas:
-        if args.resume:
-            p.error("--deltas is incompatible with --resume")
         from dig_entity_resolution_spark.plans.curation_incremental import (
             IncrementalCuration,
         )

@@ -132,3 +132,59 @@ def test_decode_image_real_webp_wiring():
     assert not _decodable_image(lossy)
     with pytest.raises(NotImplementedError):
         decode_image_real(lossy)
+
+
+# -- review-r6 regressions ----------------------------------------------------
+
+
+def test_entropy_image_varying_alpha_roundtrip():
+    """Literal channel order is green, red, blue, alpha — the draft read
+    alpha first, masked by the public encoder's opaque zero-bit alpha
+    code (review r6). Drive the entropy layer directly with varying
+    alpha."""
+    from dig_entity_resolution_spark.operators.webp_codec import (
+        _decode_entropy_image,
+        _encode_entropy_image,
+    )
+
+    rng = np.random.RandomState(2)
+    argb = rng.randint(0, 256, size=(7, 9, 4)).astype(np.uint8)
+    w = _BitWriter()
+    _encode_entropy_image(w, argb, level0=True)
+    out = _decode_entropy_image(
+        _BitReader(w.done() + b"\x00"), 9, 7, level0=True
+    )
+    assert np.array_equal(out, argb)
+
+
+def test_long_run_splits_at_prefix_limit():
+    """Runs longer than 4096 (the largest length the 24 prefix codes
+    carry) must split; the draft emitted an out-of-alphabet green symbol
+    (review r6)."""
+    img = np.full((60, 80, 3), 50, dtype=np.uint8)  # 4800-pixel run
+    img[0, 0] = (1, 2, 3)
+    blob = encode_webp_lossless(img, backrefs=True)
+    assert np.array_equal(decode_webp(blob), img)
+
+
+def test_truncated_riff_header_raises_valueerror():
+    """A 16-19 byte payload passes the magic probe; the size unpack must
+    raise ValueError (not struct.error) so the feature-extraction
+    fallback catches it (review r6)."""
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8L")
+
+
+def test_pixel_count_cap():
+    """The per-pixel python loops need a CPU bound tighter than the byte
+    cap: 3000x3000 passes 256 MB but must be rejected (review r6)."""
+    w = _BitWriter()
+    w.bits(3000 - 1, 14)
+    w.bits(3000 - 1, 14)
+    w.bit(0)
+    w.bits(0, 3)
+    payload = b"\x2f" + w.done() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", len(payload) + 12) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_webp(blob)
