@@ -418,14 +418,21 @@ class IncrementalCuration:
         )
         kept = qual.filter(F.col("keep")).select(*_DOC_COLS)
 
-        # exact dedup vs state: first-seen-wins. Delta-keyed: the state
-        # table is only ever probed with the delta's keys.
+        # exact dedup vs state: first-seen-wins. Delta-keyed, and in the
+        # scan-not-shuffle form: an anti-join with the corpus-sized state
+        # on the RIGHT would shuffle the state per delta; instead the
+        # state is SCANNED with a delta-bounded probe (AQE broadcasts the
+        # small side), and the anti-join's right side is the delta-sized
+        # intersection.
         keyed = kept.withColumn(
             "content_key", F.md5(normalize_text("text"))
         )
-        fresh = keyed.join(
-            st.content_keys.select("content_key"), "content_key", "left_anti"
-        )
+        hit_keys = st.content_keys.join(
+            keyed.select("content_key").dropDuplicates(["content_key"]),
+            "content_key",
+            "left_semi",
+        ).select("content_key")
+        fresh = keyed.join(hit_keys, "content_key", "left_anti")
         canon = fresh.groupBy("content_key").agg(
             F.min("doc_id").alias("doc_id")
         )
@@ -457,8 +464,11 @@ class IncrementalCuration:
         )
 
         # additions: upsert survivors not already shipped, through the
-        # pinned decontam + DSIR gates
-        additions_raw = upsert.join(st.shipped, "doc_id", "left_anti")
+        # pinned decontam + DSIR gates. Same scan-not-shuffle shape: probe
+        # the corpus-sized shipped set with the (touched-cluster-bounded)
+        # upsert ids, anti-join against the small intersection.
+        already = st.shipped.join(upsert_ids, "doc_id", "left_semi")
+        additions_raw = upsert.join(already, "doc_id", "left_anti")
         decon = ck.write(
             f"{tag}_decontam", self._decontam_filter(additions_raw, holdout)
         )
