@@ -11,8 +11,10 @@ the subtract-green / predictor inverse transforms.
 Scope — decoder (any stream WITHIN this subset decodes; outside it, a
 loud ValueError, the decode_png malformed-or-unsupported contract):
   * single huffman group (no meta-huffman entropy image),
-  * transforms: SUBTRACT_GREEN and PREDICTOR (all 14 modes);
-    COLOR_TRANSFORM and COLOR_INDEXING are rejected,
+  * transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes), and
+    COLOR_INDEXING (palette + pixel bundling, the icon/logo shape;
+    standalone only — combined with other transforms it changes the
+    coordinate system and is rejected); COLOR_TRANSFORM is rejected,
   * distance codes > 120 (plain distances). Codes 1..120 index the
     spec's 120-entry 2D proximity table, which is a verbatim constant
     list in the spec document; with no offline copy of that table and no
@@ -640,6 +642,28 @@ def _predictor_apply(img: np.ndarray, modes: np.ndarray, size_bits: int,
     return out
 
 
+def _color_index_inverse(
+    packed: np.ndarray, width_bits: int, pal: np.ndarray, out_w: int
+) -> np.ndarray:
+    """Unbundle packed palette indices (GREEN channel, first sub-pixel in
+    the least-significant bits — the encoder's mirrored convention) and
+    look them up. Out-of-range indices are rejected loudly (the spec
+    leaves them implementation-defined; silent black would hide
+    corruption)."""
+    h, pw, _ = packed.shape
+    per = 1 << width_bits
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    g = packed[:, :, 2].astype(np.int32)
+    idx = np.zeros((h, pw * per), dtype=np.int32)
+    for j in range(per):
+        idx[:, j::per] = (g >> (j * bits)) & mask
+    idx = idx[:, :out_w]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("webp: palette index out of range")
+    return pal[idx]
+
+
 def _subtract_green(argb: np.ndarray, inverse: bool) -> np.ndarray:
     out = argb.astype(np.int32)
     g = out[:, :, 2]
@@ -660,15 +684,17 @@ def encode_webp_lossless(
     predictor: int | None = None,
     cache_bits: int = 0,
     backrefs: bool = False,
+    palette: bool = False,
 ) -> bytes:
     """Pinned deterministic VP8L encoder (the fixture source — same role
     as jpeg_codec.encode_jpeg). img is uint8 RGB (h, w, 3); alpha is
-    encoded opaque. At most one transform (subtract_green XOR
-    predictor); predictor applies ONE mode uniformly via a single-symbol
-    sub-image."""
+    encoded opaque. At most one transform (subtract_green XOR predictor
+    XOR palette); predictor applies ONE mode uniformly via a
+    single-symbol sub-image; palette writes COLOR_INDEXING with pixel
+    bundling (the icon/logo shape) and needs ≤ 256 distinct colors."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_webp_lossless expects uint8 (h, w, 3) RGB")
-    if subtract_green and predictor is not None:
+    if sum((subtract_green, predictor is not None, palette)) > 1:
         raise ValueError("pinned encoder writes at most one transform")
     h, w = img.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
@@ -702,6 +728,41 @@ def encode_webp_lossless(
         sub[:, :, 2] = modes  # predictor id travels in GREEN
         argb = _predictor_apply(argb, modes, size_bits, inverse=False)
         _encode_entropy_image(bw, sub)
+    if palette:
+        flat = argb.reshape(-1, 4)
+        colors = np.unique(flat, axis=0)
+        if len(colors) > 256:
+            raise ValueError(
+                f"palette mode needs <= 256 distinct colors, got {len(colors)}"
+            )
+        # deterministic order: np.unique is lexicographic over (a,r,g,b)
+        n = len(colors)
+        bw.bit(1)
+        bw.bits(3, 2)  # COLOR_INDEXING
+        bw.bits(n - 1, 8)
+        # subtraction-coded palette row: entry = delta from previous
+        stored = (
+            colors.astype(np.int32)
+            - np.vstack([np.zeros((1, 4), np.int32), colors[:-1].astype(np.int32)])
+        ) % 256
+        _encode_entropy_image(bw, stored.astype(np.uint8).reshape(1, n, 4))
+        # map pixels to indices and bundle into the GREEN channel,
+        # first sub-pixel in the least-significant bits
+        key = {tuple(c): i for i, c in enumerate(colors)}
+        idx = np.array(
+            [key[tuple(px)] for px in flat], dtype=np.int32
+        ).reshape(h, w)
+        width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        per = 1 << width_bits
+        bits = 8 >> width_bits
+        pw = (w + per - 1) // per
+        padded = np.zeros((h, pw * per), dtype=np.int32)
+        padded[:, :w] = idx
+        g = np.zeros((h, pw), dtype=np.int32)
+        for j in range(per):
+            g |= padded[:, j::per] << (j * bits)
+        argb = np.zeros((h, pw, 4), dtype=np.uint8)
+        argb[:, :, 2] = g.astype(np.uint8)
     bw.bit(0)  # end of transforms
     _encode_entropy_image(
         bw, argb, cache_bits=cache_bits, backrefs=backrefs, level0=True
@@ -748,6 +809,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
     transforms: list[tuple] = []
     seen = set()
+    full_w = w
     while r.bit():
         t = r.bits(2)
         if t in seen:
@@ -761,15 +823,35 @@ def decode_webp(payload: bytes) -> np.ndarray:
             bw_h = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_entropy_image(r, bw_w, bw_h)
             transforms.append(("predictor", size_bits, sub[:, :, 2]))
+        elif t == 3:  # COLOR_INDEXING (palette + pixel bundling)
+            n = r.bits(8) + 1
+            stored = _decode_entropy_image(r, n, 1)[0].astype(np.int32)
+            # palette entries are subtraction-coded: each entry is a
+            # per-channel delta from the previous, first from 0
+            pal = np.cumsum(stored, axis=0).astype(np.int32) % 256
+            width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+            transforms.append(("color_index", width_bits, pal.astype(np.uint8)))
+            # bundled indices shrink the width the MAIN image decodes at
+            w = (w + (1 << width_bits) - 1) >> width_bits
         else:
             raise ValueError(
-                "webp: COLOR_TRANSFORM / COLOR_INDEXING are outside this "
-                "decoder's verified subset (see module docstring)"
+                "webp: COLOR_TRANSFORM is outside this decoder's verified "
+                "subset (see module docstring)"
             )
+    if any(t[0] == "color_index" for t in transforms) and len(transforms) > 1:
+        # bundling changes the coordinate system every other transform
+        # would apply in; real encoders write the palette transform alone
+        raise ValueError(
+            "webp: COLOR_INDEXING combined with other transforms is "
+            "outside this decoder's verified subset"
+        )
     argb = _decode_entropy_image(r, w, h, level0=True)
     for tr in reversed(transforms):
         if tr[0] == "subtract_green":
             argb = _subtract_green(argb, inverse=True)
+        elif tr[0] == "color_index":
+            _, width_bits, pal = tr
+            argb = _color_index_inverse(argb, width_bits, pal, full_w)
         else:
             _, size_bits, modes = tr
             argb = _predictor_apply(argb, modes, size_bits, inverse=True)

@@ -188,3 +188,27 @@ def test_pixel_count_cap():
     blob = b"RIFF" + struct.pack("<I", len(payload) + 12) + b"WEBP" + chunk
     with pytest.raises(ValueError, match="decode cap"):
         decode_webp(blob)
+
+
+@pytest.mark.parametrize("n_colors,width_bits", [(2, 3), (4, 2), (13, 1), (40, 0)])
+def test_roundtrip_palette_all_bundle_widths(n_colors, width_bits):
+    """COLOR_INDEXING with every pixel-bundling density (8/4/2/1 indices
+    per byte), including a width that is not a multiple of the bundle."""
+    rng = np.random.RandomState(n_colors)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, n_colors, size=(11, 13))]
+    blob = encode_webp_lossless(img, palette=True)
+    assert np.array_equal(decode_webp(blob), img)
+    if n_colors > 2:
+        # palette streams beat literal streams on paletted content
+        # (at 2 colors the literal stream is 1-bit simple codes per
+        # channel and already near-minimal)
+        assert len(blob) < len(encode_webp_lossless(img))
+
+
+def test_palette_guards():
+    img = _rng_img(20, 20, seed=9)  # ~400 distinct colors
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_webp_lossless(img, palette=True)
+    with pytest.raises(ValueError, match="at most one transform"):
+        encode_webp_lossless(img, palette=True, subtract_green=True)
