@@ -11,10 +11,11 @@ the subtract-green / predictor inverse transforms.
 Scope — decoder (any stream WITHIN this subset decodes; outside it, a
 loud ValueError, the decode_png malformed-or-unsupported contract):
   * single huffman group (no meta-huffman entropy image),
-  * transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes), and
+  * ALL FOUR transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes),
+    COLOR_TRANSFORM (signed 3.5-fixed cross-channel deltas), and
     COLOR_INDEXING (palette + pixel bundling, the icon/logo shape;
     standalone only — combined with other transforms it changes the
-    coordinate system and is rejected); COLOR_TRANSFORM is rejected,
+    coordinate system and is rejected),
   * distance codes > 120 (plain distances). Codes 1..120 index the
     spec's 120-entry 2D proximity table, which is a verbatim constant
     list in the spec document; with no offline copy of that table and no
@@ -642,6 +643,47 @@ def _predictor_apply(img: np.ndarray, modes: np.ndarray, size_bits: int,
     return out
 
 
+def _s8(x: np.ndarray) -> np.ndarray:
+    """Reinterpret uint8 values as signed int8 (the spec's cast) in int32."""
+    return x.astype(np.uint8).astype(np.int8).astype(np.int32)
+
+
+def _color_transform_apply(
+    argb: np.ndarray, elems: np.ndarray, size_bits: int, inverse: bool
+) -> np.ndarray:
+    """COLOR_TRANSFORM forward/inverse. Per-block ColorTransformElement
+    fields travel in the sub-image channels (spec): green_to_red in
+    BLUE, green_to_blue in GREEN, red_to_blue in RED. delta(t, c) =
+    (int8(t) * int8(c)) >> 5 with arithmetic shift (python's >> on
+    negatives floors, matching). The inverse feeds the RECONSTRUCTED
+    red into the red_to_blue delta. No sequential dependence — fully
+    vectorized."""
+    h, w, _ = argb.shape
+    yy = (np.arange(h) >> size_bits).astype(np.int64)
+    xx = (np.arange(w) >> size_bits).astype(np.int64)
+    blk = elems[yy][:, xx]  # (h, w, 4) ARGB
+    g2r = _s8(blk[:, :, 3])
+    g2b = _s8(blk[:, :, 2])
+    r2b = _s8(blk[:, :, 1])
+    out = argb.astype(np.int32).copy()
+    g = _s8(argb[:, :, 2])
+    if inverse:
+        red = (argb[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) % 256
+        blue = argb[:, :, 3].astype(np.int32) + ((g2b * g) >> 5)
+        blue = (blue + ((r2b * _s8(red)) >> 5)) % 256
+    else:
+        r0 = _s8(argb[:, :, 1])
+        red = (argb[:, :, 1].astype(np.int32) - ((g2r * g) >> 5)) % 256
+        blue = (
+            argb[:, :, 3].astype(np.int32)
+            - ((g2b * g) >> 5)
+            - ((r2b * r0) >> 5)
+        ) % 256
+    out[:, :, 1] = red
+    out[:, :, 3] = blue
+    return out.astype(np.uint8)
+
+
 def _color_index_inverse(
     packed: np.ndarray, width_bits: int, pal: np.ndarray, out_w: int
 ) -> np.ndarray:
@@ -685,6 +727,7 @@ def encode_webp_lossless(
     cache_bits: int = 0,
     backrefs: bool = False,
     palette: bool = False,
+    color_transform: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Pinned deterministic VP8L encoder (the fixture source — same role
     as jpeg_codec.encode_jpeg). img is uint8 RGB (h, w, 3); alpha is
@@ -694,7 +737,10 @@ def encode_webp_lossless(
     bundling (the icon/logo shape) and needs ≤ 256 distinct colors."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_webp_lossless expects uint8 (h, w, 3) RGB")
-    if sum((subtract_green, predictor is not None, palette)) > 1:
+    if sum(
+        (subtract_green, predictor is not None, palette,
+         color_transform is not None)
+    ) > 1:
         raise ValueError("pinned encoder writes at most one transform")
     h, w = img.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
@@ -727,6 +773,20 @@ def encode_webp_lossless(
         sub = np.zeros((bw_h, bw_w, 4), dtype=np.uint8)
         sub[:, :, 2] = modes  # predictor id travels in GREEN
         argb = _predictor_apply(argb, modes, size_bits, inverse=False)
+        _encode_entropy_image(bw, sub)
+    if color_transform is not None:
+        g2r, g2b, r2b = (int(v) & 0xFF for v in color_transform)
+        bw.bit(1)
+        bw.bits(1, 2)  # COLOR_TRANSFORM
+        size_bits = 9
+        bw.bits(size_bits - 2, 3)
+        bw_w = (w + (1 << size_bits) - 1) >> size_bits
+        bw_h = (h + (1 << size_bits) - 1) >> size_bits
+        sub = np.zeros((bw_h, bw_w, 4), dtype=np.uint8)
+        sub[:, :, 3] = g2r  # green_to_red travels in BLUE
+        sub[:, :, 2] = g2b  # green_to_blue in GREEN
+        sub[:, :, 1] = r2b  # red_to_blue in RED
+        argb = _color_transform_apply(argb, sub, size_bits, inverse=False)
         _encode_entropy_image(bw, sub)
     if palette:
         flat = argb.reshape(-1, 4)
@@ -823,6 +883,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
             bw_h = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_entropy_image(r, bw_w, bw_h)
             transforms.append(("predictor", size_bits, sub[:, :, 2]))
+        elif t == 1:  # COLOR_TRANSFORM
+            size_bits = r.bits(3) + 2
+            bw_w = (w + (1 << size_bits) - 1) >> size_bits
+            bw_h = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(r, bw_w, bw_h)
+            transforms.append(("color_transform", size_bits, sub))
         elif t == 3:  # COLOR_INDEXING (palette + pixel bundling)
             n = r.bits(8) + 1
             stored = _decode_entropy_image(r, n, 1)[0].astype(np.int32)
@@ -833,11 +899,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
             transforms.append(("color_index", width_bits, pal.astype(np.uint8)))
             # bundled indices shrink the width the MAIN image decodes at
             w = (w + (1 << width_bits) - 1) >> width_bits
-        else:
-            raise ValueError(
-                "webp: COLOR_TRANSFORM is outside this decoder's verified "
-                "subset (see module docstring)"
-            )
+
     if any(t[0] == "color_index" for t in transforms) and len(transforms) > 1:
         # bundling changes the coordinate system every other transform
         # would apply in; real encoders write the palette transform alone
@@ -852,6 +914,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
         elif tr[0] == "color_index":
             _, width_bits, pal = tr
             argb = _color_index_inverse(argb, width_bits, pal, full_w)
+        elif tr[0] == "color_transform":
+            _, size_bits, elems = tr
+            argb = _color_transform_apply(argb, elems, size_bits, inverse=True)
         else:
             _, size_bits, modes = tr
             argb = _predictor_apply(argb, modes, size_bits, inverse=True)
