@@ -643,6 +643,14 @@ def _predictor_apply(img: np.ndarray, modes: np.ndarray, size_bits: int,
     return out
 
 
+def _palette_width_bits(n_colors: int) -> int:
+    """Pixel-bundling density for a palette of n colors (spec ladder):
+    <=2 colors pack 8 indices/byte, <=4 pack 4, <=16 pack 2, else 1.
+    The ONE derivation both encoder and decoder use — a drift here would
+    silently pack/unpack at mismatched widths."""
+    return 3 if n_colors <= 2 else 2 if n_colors <= 4 else 1 if n_colors <= 16 else 0
+
+
 def _s8(x: np.ndarray) -> np.ndarray:
     """Reinterpret uint8 values as signed int8 (the spec's cast) in int32."""
     return x.astype(np.uint8).astype(np.int8).astype(np.int32)
@@ -665,7 +673,7 @@ def _color_transform_apply(
     g2r = _s8(blk[:, :, 3])
     g2b = _s8(blk[:, :, 2])
     r2b = _s8(blk[:, :, 1])
-    out = argb.astype(np.int32).copy()
+    out = argb.astype(np.int32)
     g = _s8(argb[:, :, 2])
     if inverse:
         red = (argb[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) % 256
@@ -790,7 +798,7 @@ def encode_webp_lossless(
         _encode_entropy_image(bw, sub)
     if palette:
         flat = argb.reshape(-1, 4)
-        colors = np.unique(flat, axis=0)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
         if len(colors) > 256:
             raise ValueError(
                 f"palette mode needs <= 256 distinct colors, got {len(colors)}"
@@ -808,11 +816,8 @@ def encode_webp_lossless(
         _encode_entropy_image(bw, stored.astype(np.uint8).reshape(1, n, 4))
         # map pixels to indices and bundle into the GREEN channel,
         # first sub-pixel in the least-significant bits
-        key = {tuple(c): i for i, c in enumerate(colors)}
-        idx = np.array(
-            [key[tuple(px)] for px in flat], dtype=np.int32
-        ).reshape(h, w)
-        width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        idx = inv.reshape(h, w).astype(np.int32)
+        width_bits = _palette_width_bits(n)
         per = 1 << width_bits
         bits = 8 >> width_bits
         pw = (w + per - 1) // per
@@ -895,7 +900,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
             # palette entries are subtraction-coded: each entry is a
             # per-channel delta from the previous, first from 0
             pal = np.cumsum(stored, axis=0).astype(np.int32) % 256
-            width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+            width_bits = _palette_width_bits(n)
             transforms.append(("color_index", width_bits, pal.astype(np.uint8)))
             # bundled indices shrink the width the MAIN image decodes at
             w = (w + (1 << width_bits) - 1) >> width_bits

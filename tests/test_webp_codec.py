@@ -197,6 +197,11 @@ def test_roundtrip_palette_all_bundle_widths(n_colors, width_bits):
     rng = np.random.RandomState(n_colors)
     pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
     img = pal[rng.randint(0, n_colors, size=(11, 13))]
+    from dig_entity_resolution_spark.operators.webp_codec import (
+        _palette_width_bits,
+    )
+
+    assert _palette_width_bits(n_colors) == width_bits
     blob = encode_webp_lossless(img, palette=True)
     assert np.array_equal(decode_webp(blob), img)
     if n_colors > 2:
@@ -232,8 +237,37 @@ def test_color_transform_exclusive():
         encode_webp_lossless(
             _rng_img(4, 4), color_transform=(1, 2, 3), predictor=1
         )
-    # decoder rejects palette combined with any other transform
-    img = _rng_img(6, 6, seed=1, palette=[(1, 2, 3), (9, 8, 7)])
-    blob = bytearray(encode_webp_lossless(img, palette=True))
-    # (constructing a combined stream by hand is brittle; the encoder
-    # guard plus the decoder's explicit combination check covers it)
+
+
+def test_decoder_rejects_palette_combined_with_other_transform():
+    """Hand-build a SUBTRACT_GREEN + COLOR_INDEXING stream: bundling
+    changes the coordinate system every other transform would apply in,
+    so the decoder must reject the combination loudly (review r6: this
+    branch previously had no coverage)."""
+    from dig_entity_resolution_spark.operators.webp_codec import (
+        _encode_entropy_image,
+    )
+
+    w = _BitWriter()
+    w.bits(3, 14)  # width 4
+    w.bits(0, 14)  # height 1
+    w.bit(0)
+    w.bits(0, 3)
+    w.bit(1)
+    w.bits(2, 2)  # SUBTRACT_GREEN
+    w.bit(1)
+    w.bits(3, 2)  # COLOR_INDEXING
+    w.bits(1, 8)  # 2 colors
+    pal = np.zeros((1, 2, 4), dtype=np.uint8)
+    pal[0, :, 2] = (10, 20)
+    _encode_entropy_image(w, pal)
+    w.bit(0)  # end of transforms
+    packed = np.zeros((1, 1, 4), dtype=np.uint8)
+    _encode_entropy_image(w, packed, level0=True)
+    payload = b"\x2f" + w.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    blob = b"RIFF" + struct.pack("<I", len(chunk) + 4) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="combined with other transforms"):
+        decode_webp(blob)
