@@ -10,7 +10,8 @@ the subtract-green / predictor inverse transforms.
 
 Scope — decoder (any stream WITHIN this subset decodes; outside it, a
 loud ValueError, the decode_png malformed-or-unsupported contract):
-  * single huffman group (no meta-huffman entropy image),
+  * meta-huffman: multiple huffman groups via the entropy sub-image
+    (group id = red<<8 | green per huffman_bits block; shared cache),
   * ALL FOUR transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes),
     COLOR_TRANSFORM (signed 3.5-fixed cross-channel deltas), and
     COLOR_INDEXING (palette + pixel bundling, the icon/logo shape;
@@ -368,17 +369,32 @@ def _decode_entropy_image(
     cache = (
         np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
     )
+    # meta-huffman (level 0 only, read AFTER the cache bit — the
+    # ReadHuffmanCodes order): an entropy sub-image assigns a huffman
+    # GROUP per huffman_bits-sized block; group id = (red << 8) | green.
+    # The color cache stays shared across groups.
+    group_map = None
+    hbits = 0
+    n_groups = 1
     if level0 and r.bit():
-        raise ValueError(
-            "webp: meta-huffman entropy images are outside this decoder's "
-            "verified subset (see module docstring)"
-        )
+        hbits = r.bits(3) + 2
+        mw = (w + (1 << hbits) - 1) >> hbits
+        mh = (h + (1 << hbits) - 1) >> hbits
+        meta = _decode_entropy_image(r, mw, mh)
+        group_map = (
+            meta[:, :, 1].astype(np.int32) << 8
+        ) | meta[:, :, 2].astype(np.int32)
+        n_groups = int(group_map.max()) + 1
+        if n_groups > 1024:
+            raise ValueError("webp: implausible meta-huffman group count")
     n_green = 256 + _NUM_LENGTH_PREFIXES + (1 << cache_bits if cache_bits else 0)
-    green = _read_huffman_code(r, n_green)
-    red = _read_huffman_code(r, 256)
-    blue = _read_huffman_code(r, 256)
-    alpha = _read_huffman_code(r, 256)
-    dist = _read_huffman_code(r, 40)
+    groups = [
+        tuple(
+            _read_huffman_code(r, n)
+            for n in (n_green, 256, 256, 256, 40)
+        )
+        for _ in range(n_groups)
+    ]
 
     px = np.zeros(w * h, dtype=np.uint32)
     i = 0
@@ -388,6 +404,11 @@ def _decode_entropy_image(
             cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
 
     while i < w * h:
+        if group_map is None:
+            green, red, blue, alpha, dist = groups[0]
+        else:
+            g = group_map[(i // w) >> hbits, (i % w) >> hbits]
+            green, red, blue, alpha, dist = groups[g]
         s = green.read(r)
         if s < 256:
             # spec emission order: green, red, blue, alpha (the
@@ -540,6 +561,54 @@ def _encode_entropy_image(
             w.bits(dextra, dnbits)
         else:
             emit("g", 256 + _NUM_LENGTH_PREFIXES + p)
+
+
+def _encode_meta_main(w: _BitWriter, argb: np.ndarray, n_groups: int) -> None:
+    """Pinned literal-only MAIN image with meta-huffman: 4px blocks,
+    group = block-column mod n_groups, one code set per group. Exists to
+    exercise the decoder's multi-group path with genuinely different
+    tables per group."""
+    h_px, w_px, _ = argb.shape
+    hbits = 2
+    mw = (w_px + 3) >> 2
+    mh = (h_px + 3) >> 2
+    gmap = np.tile(np.arange(mw, dtype=np.int32) % n_groups, (mh, 1))
+    w.bit(0)  # no color cache
+    w.bit(1)  # meta-huffman present
+    w.bits(hbits - 2, 3)
+    meta = np.zeros((mh, mw, 4), dtype=np.uint8)
+    meta[:, :, 2] = gmap.astype(np.uint8)  # group id = (red<<8)|green
+    _encode_entropy_image(w, meta)
+    n_green = 256 + _NUM_LENGTH_PREFIXES
+    pix_group = gmap[
+        (np.arange(h_px) >> hbits)[:, None], (np.arange(w_px) >> hbits)[None, :]
+    ]
+    tables = []
+    for g in range(n_groups):
+        sel = argb[pix_group == g]
+        counts = [
+            np.bincount(sel[:, ch], minlength=256) for ch in (2, 1, 3, 0)
+        ]
+        group_tables = []
+        for n_sym, c in zip(
+            (n_green, 256, 256, 256, 40),
+            [*({s: int(v) for s, v in enumerate(cnt) if v} for cnt in counts),
+             {0: 1}],
+        ):
+            if not c:
+                c = {0: 1}
+            lens = _huff_lengths(c, 15)
+            _write_huffman_code(w, lens, n_sym)
+            group_tables.append(_canonical_codes(lens))
+        tables.append(group_tables)
+    for y in range(h_px):
+        for x in range(w_px):
+            tg, tr, tb, ta, _ = tables[int(pix_group[y, x])]
+            a, rr, g, b = (int(argb[y, x, ch]) for ch in (0, 1, 2, 3))
+            for tbl, sym in ((tg, g), (tr, rr), (tb, b), (ta, a)):
+                code, ln = tbl[sym]
+                if ln:
+                    w.code(code, ln)
 
 
 # ---------------------------------------------------------------------------
@@ -736,6 +805,7 @@ def encode_webp_lossless(
     backrefs: bool = False,
     palette: bool = False,
     color_transform: tuple[int, int, int] | None = None,
+    meta_groups: int = 0,
 ) -> bytes:
     """Pinned deterministic VP8L encoder (the fixture source — same role
     as jpeg_codec.encode_jpeg). img is uint8 RGB (h, w, 3); alpha is
@@ -829,9 +899,19 @@ def encode_webp_lossless(
         argb = np.zeros((h, pw, 4), dtype=np.uint8)
         argb[:, :, 2] = g.astype(np.uint8)
     bw.bit(0)  # end of transforms
-    _encode_entropy_image(
-        bw, argb, cache_bits=cache_bits, backrefs=backrefs, level0=True
-    )
+    if meta_groups >= 2:
+        if any((subtract_green, predictor is not None, palette,
+                color_transform is not None, cache_bits, backrefs)):
+            raise ValueError(
+                "pinned encoder writes meta-huffman standalone (literal-only)"
+            )
+        if meta_groups > 255:
+            raise ValueError("pinned encoder stores group ids in green (<=255)")
+        _encode_meta_main(bw, argb, meta_groups)
+    else:
+        _encode_entropy_image(
+            bw, argb, cache_bits=cache_bits, backrefs=backrefs, level0=True
+        )
     payload = b"\x2f" + bw.done()
 
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

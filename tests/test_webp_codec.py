@@ -271,3 +271,22 @@ def test_decoder_rejects_palette_combined_with_other_transform():
     blob = b"RIFF" + struct.pack("<I", len(chunk) + 4) + b"WEBP" + chunk
     with pytest.raises(ValueError, match="combined with other transforms"):
         decode_webp(blob)
+
+
+@pytest.mark.parametrize("n_groups", [2, 3, 5])
+def test_roundtrip_meta_huffman_groups(n_groups):
+    """Multiple huffman groups selected per 4px block by the meta entropy
+    image — each group carries genuinely different code tables (the
+    pinned encoder builds per-group histograms)."""
+    rng = np.random.RandomState(n_groups)
+    img = rng.randint(0, 256, size=(13, 21, 3)).astype(np.uint8)
+    # make the groups statistically different so tables differ
+    img[:, ::3] //= 4
+    blob = encode_webp_lossless(img, meta_groups=n_groups)
+    assert np.array_equal(decode_webp(blob), img)
+
+
+def test_meta_huffman_guards():
+    img = _rng_img(8, 8)
+    with pytest.raises(ValueError, match="standalone"):
+        encode_webp_lossless(img, meta_groups=2, cache_bits=4)
