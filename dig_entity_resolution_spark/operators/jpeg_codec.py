@@ -358,16 +358,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             bp = 0
             while bp < len(body):
                 tc, th = body[bp] >> 4, body[bp] & 0xF
+                if bp + 17 > len(body):
+                    raise ValueError("truncated DHT counts")
                 counts = list(body[bp + 1 : bp + 17])
                 nsym = sum(counts)
                 syms = list(body[bp + 17 : bp + 17 + nsym])
+                # a DHT declaring more symbols than its segment carries is
+                # malformed, not short — fail as ValueError so the feature
+                # fallback catches it (ADVICE r6 #2), never IndexError from
+                # _canonical_codes indexing past the symbol list
+                if len(syms) != nsym:
+                    raise ValueError("DHT symbol table overruns segment")
                 codes = _canonical_codes(counts, syms)
                 huff[(tc, th)] = {
                     (code, ln): sym for sym, (code, ln) in codes.items()
                 }
                 bp += 17 + nsym
         elif marker == 0xC0:  # SOF0
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             if prec != 8:
                 raise ValueError("only 8-bit baseline supported")
             comps = []
@@ -384,6 +396,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS header")
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)

@@ -156,6 +156,17 @@ def _full_body(buf: bytes, s: int, e: int, tag: str) -> int:
     return s + 4
 
 
+def _unpack(fmt: str, buf: bytes, off: int, end: int, what: str) -> tuple:
+    """unpack_from with the remaining-body check the box walk can't do for
+    us: a full-box whose declared size covers only part of its fixed
+    fields (e.g. an mdhd with an empty body, a 4-byte stsz) must fail as
+    ValueError — the skip-unparseable contract — never struct.error
+    (ADVICE r6 #1; same conversion multimodal.decode_wav/decode_png use)."""
+    if off + struct.calcsize(fmt) > end:
+        raise ValueError(f"mp4: truncated {what}")
+    return struct.unpack_from(fmt, buf, off)
+
+
 def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
     """Reconstruct the first track's full sample table. Returns a dict:
     timescale, duration_ms, n_samples, and numpy arrays `offsets`,
@@ -168,7 +179,7 @@ def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
     mdia_s, mdia_e = _find_box(buf, trak_s, trak_e, b"mdia")
     mdhd_s, mdhd_e = _find_box(buf, mdia_s, mdia_e, b"mdhd")
     b = _full_body(buf, mdhd_s, mdhd_e, "mdhd")
-    _, _, timescale, duration = struct.unpack_from(">IIII", buf, b)
+    _, _, timescale, duration = _unpack(">IIII", buf, b, mdhd_e, "mdhd")
     if timescale == 0:
         raise ValueError("mp4: zero timescale")
     minf_s, minf_e = _find_box(buf, mdia_s, mdia_e, b"minf")
@@ -180,7 +191,7 @@ def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
 
     # stsz → sizes
     b, e = full(b"stsz")
-    fixed, count = struct.unpack_from(">II", buf, b)
+    fixed, count = _unpack(">II", buf, b, e, "stsz")
     if count > max_samples:
         raise ValueError(f"mp4: stsz declares {count} samples (cap {max_samples})")
     if fixed:
@@ -194,7 +205,7 @@ def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
 
     # stts → per-sample decode timestamps
     b, e = full(b"stts")
-    (n_runs,) = struct.unpack_from(">I", buf, b)
+    (n_runs,) = _unpack(">I", buf, b, e, "stts")
     if b + 4 + 8 * n_runs > e:
         raise ValueError("mp4: stts table truncated")
     runs = np.frombuffer(buf, dtype=">u4", count=2 * n_runs, offset=b + 4).reshape(
@@ -207,7 +218,7 @@ def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
 
     # stco → chunk offsets
     b, e = full(b"stco")
-    (n_chunks,) = struct.unpack_from(">I", buf, b)
+    (n_chunks,) = _unpack(">I", buf, b, e, "stco")
     if n_chunks > max_samples or b + 4 + 4 * n_chunks > e:
         raise ValueError("mp4: stco table truncated or oversized")
     chunk_offsets = np.frombuffer(
@@ -217,7 +228,7 @@ def parse_mp4(payload: bytes, max_samples: int = MAX_SAMPLES) -> dict:
     # stsc → samples-per-chunk, expanded over the chunk list (entries give
     # first_chunk at which a per-chunk sample count starts applying)
     b, e = full(b"stsc")
-    (n_ent,) = struct.unpack_from(">I", buf, b)
+    (n_ent,) = _unpack(">I", buf, b, e, "stsc")
     if b + 4 + 12 * n_ent > e:
         raise ValueError("mp4: stsc table truncated")
     ent = np.frombuffer(buf, dtype=">u4", count=3 * n_ent, offset=b + 4).reshape(

@@ -312,6 +312,19 @@ def _read_huffman_code(r: _BitReader, n_sym: int) -> _HuffDecoder:
         s1 = r.bits(8)
         if s0 == s1:
             raise ValueError("webp: duplicate symbol in simple code")
+        # _HuffDecoder assigns equal-length codes canonically (smaller
+        # symbol → code 0); libwebp's explicit construction gives code 0
+        # to the FIRST-READ symbol. The two agree only when s0 < s1 — the
+        # only order the pinned encoder emits and the only order verified
+        # offline, so a descending pair is rejected loudly rather than
+        # decoded with silently swapped pixels (ADVICE r6 #4; same
+        # honesty contract as the unreconstructable 2D-distance table).
+        if s0 > s1:
+            raise ValueError(
+                "webp: descending two-symbol simple code is outside the "
+                "verified subset (canonical vs read-order assignment "
+                "differs; cannot be confirmed offline)"
+            )
         return _HuffDecoder({s0: 1, s1: 1})
     num_clc = 4 + r.bits(4)
     clc_len = {}

@@ -1538,6 +1538,27 @@ def _dsir_weights():
     return _dsir_weights._cache
 
 
+def _dsir_weights_for(sf_dir):
+    """`_dsir_weights()` with the `_lm_artifact_for` fallback (ADVICE r6
+    #3): when the oracle fixture is unreadable the cached artifact is
+    None and the queries must still run (rows-only), so fit raw counts
+    on the sf_dir corpus instead of crashing on `None.w`."""
+    wt = _dsir_weights()
+    if wt is None:
+        from .functions.dsir import (
+            DIM,
+            _counts_py,
+            default_target_texts,
+            fit_dsir_weights,
+            raw_counts_serial,
+        )
+
+        tgt = _counts_py(default_target_texts(), DIM)
+        raw = raw_counts_serial(f"{sf_dir}/documents.parquet")
+        wt = fit_dsir_weights(tgt, raw)
+    return wt
+
+
 DSIR_K = 100
 
 
@@ -1580,7 +1601,7 @@ def q_dsir_select(spark, sf_dir):
     from .functions.dsir import dsir_select_topk
 
     return dsir_select_topk(
-        _docs(spark, sf_dir), _dsir_weights(), DSIR_K
+        _docs(spark, sf_dir), _dsir_weights_for(sf_dir), DSIR_K
     ).withColumnRenamed("doc_id", "record_id")
 
 
@@ -1594,7 +1615,7 @@ def q_dsir_resample_production(spark, sf_dir):
     from .functions.dsir import dsir_resample_gumbel
 
     return dsir_resample_gumbel(
-        _docs(spark, sf_dir), _dsir_weights(), DSIR_K, salt="r6"
+        _docs(spark, sf_dir), _dsir_weights_for(sf_dir), DSIR_K, salt="r6"
     ).withColumnRenamed("doc_id", "record_id")
 
 

@@ -166,3 +166,17 @@ def test_select_frac_thresholds_without_sort(spark, weights):
     assert dsir_select_frac(df, weights, 1.0).count() == 50
     with pytest.raises(ValueError, match="keep_frac"):
         dsir_select_frac(df, weights, 0.0)
+
+
+def test_weights_for_falls_back_when_fixture_unreadable(monkeypatch, spark):
+    """ADVICE r6 #3: when the oracle fixture is unreadable `_dsir_weights()`
+    is None (rows-only mode); `_dsir_weights_for` must fit on sf_dir docs
+    instead, so q_dsir_select still runs rather than crashing on None.w."""
+    from dig_entity_resolution_spark import queries
+
+    monkeypatch.setattr(queries, "_dsir_weights", lambda: None)
+    sf_dir = "/root/testdata/sf0.001"
+    wt = queries._dsir_weights_for(sf_dir)
+    assert isinstance(wt, DsirWeights) and wt.dim == DIM
+    rows = queries.q_dsir_select(spark, sf_dir).limit(5).collect()
+    assert len(rows) == 5 and all(r.record_id is not None for r in rows)

@@ -121,3 +121,31 @@ def test_unsupported_variants_rejected():
         decode_jpeg(good[: len(good) // 2])
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_crafted_segment_truncations_raise_valueerror():
+    """ADVICE r6 #2: a crafted/truncated web JPEG must fail as ValueError
+    (the skip-and-fallback contract of _features_for / image_phash_table),
+    never IndexError from DHT symbol indexing or struct.error from a short
+    SOF0/SOS body."""
+    from dig_entity_resolution_spark.operators.jpeg_codec import _SOI, _seg
+
+    good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+    # DHT whose declared counts exceed the symbols the segment carries
+    b = bytearray(good)
+    i = bytes(b).find(b"\xff\xc4")
+    b[i + 20] += 200  # bump one counts byte far past the segment body
+    with pytest.raises(ValueError, match="DHT symbol table overruns"):
+        decode_jpeg(bytes(b))
+    # DHT segment too short to even hold the 16 count bytes
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_jpeg(_SOI + _seg(0xC4, b"\x00" + b"\x01" * 8))
+    # SOF0 body shorter than its fixed header
+    with pytest.raises(ValueError, match="truncated SOF0"):
+        decode_jpeg(_SOI + _seg(0xC0, b"\x08\x00\x10"))
+    # SOF0 declaring 3 components but carrying bytes for one
+    with pytest.raises(ValueError, match="truncated SOF0 component"):
+        decode_jpeg(_SOI + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x11\x00"))
+    # SOS header shorter than its declared component list
+    with pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(_SOI + _seg(0xDA, b"\x03\x01\x00"))

@@ -225,3 +225,38 @@ def test_video_frame_samples_exact_bytes(spark):
             assert bytes(r.frame_payload) == extract_sample(
                 bytes(meta[aid].payload), parsed, i
             )
+
+
+def test_mp4_truncated_fullbox_bodies_raise_valueerror():
+    """ADVICE r6 #1: an mdhd with an empty body or an stsz too short for
+    its fixed header must fail as ValueError (media_stream_info /
+    video_frame_samples skip on ValueError), never struct.error."""
+    mdhd_empty = _full(b"mdhd")
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", mdhd_empty)))
+    with pytest.raises(ValueError, match="truncated mdhd"):
+        parse_mp4(moov)
+
+    mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 5000))
+    stsz_short = _full(b"stsz", struct.pack(">I", 0))  # 4 bytes, needs 8
+    stbl = _box(b"stbl", stsz_short)
+    mdia = _box(b"mdia", mdhd, _box(b"minf", stbl))
+    moov = _box(b"moov", _box(b"trak", mdia))
+    with pytest.raises(ValueError, match="truncated stsz"):
+        parse_mp4(moov)
+
+    # stts/stco/stsc with empty bodies likewise (parse order: stsz → stts
+    # → stco → stsc, so each case carries valid copies of the earlier ones)
+    order = [
+        (b"stsz", _full(b"stsz", struct.pack(">II", 10, 0))),
+        (b"stts", _full(b"stts", struct.pack(">I", 0))),
+        (b"stco", _full(b"stco", struct.pack(">I", 0))),
+        (b"stsc", _full(b"stsc", struct.pack(">I", 0))),
+    ]
+    for i, (tag, _) in enumerate(order[1:], start=1):
+        boxes = [good for _, good in order[:i]]
+        boxes.append(_full(tag))  # empty body: header unpack must not escape
+        stbl = _box(b"stbl", *boxes)
+        mdia = _box(b"mdia", mdhd, _box(b"minf", stbl))
+        moov = _box(b"moov", _box(b"trak", mdia))
+        with pytest.raises(ValueError, match="truncated " + tag.decode()):
+            parse_mp4(moov)

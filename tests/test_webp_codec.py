@@ -290,3 +290,30 @@ def test_meta_huffman_guards():
     img = _rng_img(8, 8)
     with pytest.raises(ValueError, match="standalone"):
         encode_webp_lossless(img, meta_groups=2, cache_bits=4)
+
+
+def test_descending_two_symbol_simple_code_rejected():
+    """ADVICE r6 #4: canonical assignment (smaller symbol → code 0) and
+    libwebp's read-order assignment agree only for ascending symbol pairs;
+    a descending pair would decode with silently swapped symbols, so it is
+    rejected loudly as outside the verified subset."""
+    from dig_entity_resolution_spark.operators.webp_codec import (
+        _BitReader,
+        _read_huffman_code,
+    )
+
+    def simple_pair(s0, s1):
+        w = _BitWriter()
+        w.bit(1)  # simple code
+        w.bit(1)  # two symbols
+        w.bit(1)  # first symbol is 8-bit
+        w.bits(s0, 8)
+        w.bits(s1, 8)
+        return _BitReader(w.done())
+
+    with pytest.raises(ValueError, match="descending"):
+        _read_huffman_code(simple_pair(5, 3), 256)
+    dec = _read_huffman_code(simple_pair(3, 5), 256)
+    # ascending pair: canonical == read order — code 0 is the first symbol
+    r = _BitReader(b"\x02")  # bits LSB-first: 0 then 1
+    assert dec.read(r) == 3 and dec.read(r) == 5
