@@ -419,17 +419,24 @@ def bpe_encode_ids(
     is appended per word and the trailing one sliced off. Docs with no
     words get an empty array; NULL text raises in-plan (the
     pack_sequences/bpe_token_counts contract). Entirely JVM-side."""
-    mc = bpe_merges_literal(merges)
-    vm = bpe_vocab_map_literal(vocab)
+    from .colcache import cached_col
+
+    # the merges fold + vocab-map tree is a pure function of the two
+    # pinned artifacts and the fixed "_w" input — memoized so recurring
+    # batches under the same artifacts skip the rebuild (r7)
+    word_ids_col = cached_col(
+        "bpe_word_ids",
+        (merges, vocab),
+        ("_w",),
+        lambda: bpe_word_ids(
+            F.col("_w"), bpe_merges_literal(merges), bpe_vocab_map_literal(vocab)
+        ),
+    )
     words = docs.select(
         F.col(id_col).alias("_doc"),
         F.posexplode(split_words(text_col)).alias("_pos", "_w"),
     )
-    wids = (
-        words.select("_w")
-        .distinct()
-        .withColumn("_ids", bpe_word_ids(F.col("_w"), mc, vm))
-    )
+    wids = words.select("_w").distinct().withColumn("_ids", word_ids_col)
     per_doc = (
         words.join(wids, "_w")
         .groupBy("_doc")

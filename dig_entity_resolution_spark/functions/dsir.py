@@ -165,8 +165,22 @@ def _weights_lit(wt: DsirWeights) -> Column:
 
 def dsir_logratio_micro(text: Column | str, wt: DsirWeights) -> Column:
     """struct(n_grams long, logratio_micro long) — exact integer log10
-    importance ratio of a document, as one native expression."""
+    importance ratio of a document, as one native expression. Memoized
+    per (wt, input expression) — the pinned-artifact batches of
+    IncrementalCuration rebuild this tree with the same weights every
+    delta (r7, VERDICT r6 #1)."""
     c = F.col(text) if isinstance(text, str) else text
+    from .colcache import cached_col
+
+    return cached_col(
+        "dsir_logratio_micro",
+        (wt,),
+        (str(c),),
+        lambda: _dsir_logratio_micro(c, wt),
+    )
+
+
+def _dsir_logratio_micro(c: Column, wt: DsirWeights) -> Column:
     arr = _weights_lit(wt)
     toks = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))

@@ -294,16 +294,21 @@ def near_dup_delta(
     )
     # shingles for verification: delta side is cached; old endpoints are
     # recomputed restricted to the candidate membership (bounded by the
-    # touched buckets, not the corpus)
+    # touched buckets, not the corpus). The involved-docs prune is
+    # MATERIALIZED before any shingle expression exists: when the prune
+    # and the shingling live in one plan, the optimizer can push
+    # _shingle_rows' size(shingles)>0 filter below the semi-join with the
+    # normalize regex inlined per shingle position — the notes-#16 O(L²)
+    # blowup over the WHOLE corpus scan (measured 40s vs 1.8s at the 5k
+    # bench when the lean-checkpoint plan shape tripped it, r7). The snap
+    # is delta-bounded (involved endpoints only), so this stays O(delta).
     old_involved = _endpoints(cand).join(delta_ids, "doc_id", "left_anti")
-    old_shingled = _shingle_rows(
+    old_docs = _snap(
         state.docs.join(
             old_involved.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
-        ),
-        id_col,
-        text_col,
-        cfg.shingle_k,
+        ).select(F.col(id_col), F.col(text_col))
     )
+    old_shingled = _shingle_rows(old_docs, id_col, text_col, cfg.shingle_k)
     # MATERIALIZE the (delta-bounded) verification shingle table before the
     # jaccard join. _shingle_rows' persist barrier covers only the
     # normalized TEXT — the shingle arrays are built by an interpreted

@@ -50,8 +50,11 @@ chunks (pinned by test_chunk_coverage_after_merge_removal).
 
 Like NearDupState, the state is session-lifetime (lazy unions of
 localCheckpoint'd segments; new rows snap per batch, `compact()` folds
-periodically). Every stage output ALSO lands in the ParquetCheckpoint
-(`b{n:04d}_<stage>`), so batch artifacts are durable and auditable; at
+periodically). init()'s stage outputs and every batch's chunk stream
+land in the ParquetCheckpoint (`b{n:04d}_<stage>`); `audit_trail=True`
+extends that to every intermediate delta stage — the LEAN default skips
+those durable writes because nothing reads them back and they were
+~4.5 s of scale-independent wall per batch (r7, VERDICT r6 #1); at
 100 TB the state tables live in parquet bucketed by their join keys
 (content_key / bucket / cluster_id / doc_id) and each batch MERGEs only
 touched partitions — the dedup_incremental module's shape.
@@ -221,9 +224,11 @@ def _chunk_membership(chunk_map: DataFrame) -> DataFrame:
 
 
 class IncrementalCuration:
-    """init() once, then delta() per crawl batch. Checkpoints every
-    stage under b{n:04d}_<stage>; returns per-batch additions, removals
-    and chunk tombstones — the upsert a downstream consumer applies."""
+    """init() once, then delta() per crawl batch. init checkpoints every
+    stage under b0000_<stage>; delta durably writes b{n:04d}_chunks (and,
+    with audit_trail=True, every intermediate stage). Returns per-batch
+    additions, removals and chunk tombstones — the upsert a downstream
+    consumer applies."""
 
     def __init__(
         self,
@@ -232,10 +237,22 @@ class IncrementalCuration:
         run_id: str = "cur_incr0",
         config: CurationConfig | None = None,
         group_hex: int = 2,
+        audit_trail: bool = False,
     ):
+        """`audit_trail=True` durably checkpoints every intermediate delta
+        stage (b{n}_hygiene/quality/dedup/decontam/selected) like r6 did.
+        The default is LEAN (r7, VERDICT r6 #1): only `b{n}_chunks` — the
+        one artifact live_chunks() reads back — is written per batch;
+        intermediates are localCheckpoint-materialized (still computed
+        exactly once) but not persisted. The six durable writes were
+        ~4.5 s of scale-independent wall on EVERY batch at the 5k bench,
+        paid for audit value nothing consumed. init() always writes its
+        full trail — it is one-time and derive_ppl_thresholds audits
+        read b0000_quality."""
         self.spark = spark
         self.cfg = config or CurationConfig()
         self.group_hex = group_hex
+        self.audit_trail = audit_trail
         if self.cfg.select_k is not None:
             raise ValueError(
                 "incremental curation needs select_frac or no selection: "
@@ -409,8 +426,16 @@ class IncrementalCuration:
         n = st.batch_no
         tag = f"b{n:04d}"
 
-        hyg = ck.write(f"{tag}_hygiene", hygiene_stage(delta_docs, cfg))
-        qual = ck.write(
+        # lean default: materialize (compute-once) without the durable
+        # write — see __init__. hygiene is consumed only by quality, so
+        # lean mode never materializes it separately at all.
+        def dur(stage: str, df: DataFrame) -> DataFrame:
+            return ck.write(stage, df) if self.audit_trail else _snap(df)
+
+        hyg = hygiene_stage(delta_docs, cfg)
+        if self.audit_trail:
+            hyg = ck.write(f"{tag}_hygiene", hyg)
+        qual = dur(
             f"{tag}_quality",
             quality_audit(
                 hyg, cfg, art.lm, fixed_ppl_buckets(art.ppl_thresholds)
@@ -443,7 +468,8 @@ class IncrementalCuration:
 
         nd2 = near_dup_delta(st.nd, survivors, check_new_ids=check_new_ids)
         upsert = _snap(near_dup_emit(nd2, only_touched=True))
-        ck.write(f"{tag}_dedup", upsert)
+        if self.audit_trail:
+            ck.write(f"{tag}_dedup", upsert)
 
         # removals: previously shipped docs in a touched cluster that are
         # no longer survivors (absorbed by a merge). Touched membership =
@@ -469,7 +495,7 @@ class IncrementalCuration:
         # upsert ids, anti-join against the small intersection.
         already = st.shipped.join(upsert_ids, "doc_id", "left_semi")
         additions_raw = upsert.join(already, "doc_id", "left_anti")
-        decon = ck.write(
+        decon = dur(
             f"{tag}_decontam", self._decontam_filter(additions_raw, holdout)
         )
         add = decon
@@ -482,7 +508,7 @@ class IncrementalCuration:
             add = decon.join(
                 scored.select("doc_id", "logratio_micro"), "doc_id"
             ).select(*[F.col(c) for c in decon.columns], "logratio_micro")
-        add = ck.write(f"{tag}_selected", add)
+        add = dur(f"{tag}_selected", add)
 
         # chunk repair, group-bounded by the pack layout: a removed doc
         # invalidates its (batch, pack_group) streams; every live doc of

@@ -304,3 +304,50 @@ def test_guards(spark, tmp_path):
             _docs(spark, [("d001", "different text but a reused id four", "en")]),
             check_new_ids=True,
         )
+
+
+def test_lean_vs_audit_trail_checkpoints(spark, tmp_path):
+    """r7 (VERDICT r6 #1): the lean default durably writes only
+    b{n}_chunks per delta — the one artifact live_chunks() reads back —
+    while audit_trail=True restores the full six-stage trail. Both modes
+    must produce identical delta outputs (materialization strategy is not
+    semantics)."""
+    import os
+
+    cfg = CurationConfig(**CFG)
+    init = _docs(spark, _init_rows())
+    delta = _docs(
+        spark,
+        [("d101", "fresh content about gardens and orchards in spring", "en")],
+    )
+
+    results = {}
+    for mode, audit in (("lean", False), ("audit", True)):
+        wh = str(tmp_path / mode)
+        inc = IncrementalCuration(spark, wh, "m", cfg, audit_trail=audit)
+        inc.init(init)
+        out = inc.delta(delta)
+        results[mode] = {
+            k: sorted(r.doc_id for r in out[k].collect())
+            for k in ("additions", "removals")
+        }
+        stages = {
+            d.split("b0001_", 1)[1]
+            for d in os.listdir(os.path.join(wh, "m"))
+            if d.startswith("b0001_") and not d.endswith("_meta")
+        }
+        if audit:
+            assert stages == {
+                "hygiene", "quality", "dedup", "decontam", "selected", "chunks"
+            }
+        else:
+            assert stages == {"chunks"}
+        # init always writes its full trail (derive_ppl_thresholds audits)
+        init_stages = {
+            d for d in os.listdir(os.path.join(wh, "m"))
+            if d.startswith("b0000_") and not d.endswith("_meta")
+        }
+        assert "b0000_quality" in init_stages
+        # live_chunks still composes across batches in both modes
+        assert inc.live_chunks().count() > 0
+    assert results["lean"] == results["audit"]
