@@ -1,0 +1,220 @@
+"""Perceptual audio near-dup (VERDICT r6 "What's missing" #2).
+
+Training corpora repeat the same clip re-encoded, re-leveled, or lightly
+noised; byte dedup misses all of it. This module fingerprints decoded PCM
+with the Haitsma–Kalker construction (ISMIR 2002, the "Philips robust
+hash" — public knowledge) in pure numpy FFT over the repo's real WAV
+decoder, and finds near-dup pairs with the SAME pigeonhole Hamming-banded
+blocking the SimHash/pHash paths use — an equi-join on band buckets,
+never all-pairs.
+
+Fingerprint (64 bits per asset):
+  * the clip is cut into `N_FRAMES` equal Hann-windowed frames;
+  * each frame's power spectrum is folded into `N_BANDS` log-spaced bands
+    between `F_LO` and Nyquist (log spacing ≈ the ear's resolution, the
+    paper's choice);
+  * bit(t, b) = sign of the TIME-DIFFERENCE of the BAND-DIFFERENCE,
+      (E[t,b] − E[t,b+1]) − (E[t−1,b] − E[t−1,b+1]) > 0
+    — double differencing cancels level (gain) exactly and slow spectral
+    tilt approximately, which is what survives re-encoding. Frame 0 uses
+    the plain band difference (no predecessor).
+  8 frames × 8 band-pairs = 64 bits, packed LSB-first into a SIGNED
+  int64 like every other fingerprint in the repo (Spark LongType wrap).
+
+Scale posture (100 TB): one Arrow-batched mapInPandas pass that drops
+payload bytes immediately; banding is `n_bands` int64 keys per asset
+(pigeonhole-lossless for hamming ≤ n_bands−1); hot buckets suppressed via
+broadcast anti-join; verification is one codegen'd bit_count per
+candidate. No driver collect anywhere. The lossy-codec gate applies as
+everywhere in multimodal: WAV decodes for real, MP3 frames parse but
+their MDCT synthesis is honestly gated, so compressed audio routes
+through the decode service at scale and is skipped here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import hamming64
+from .image_dedup import _bits_to_i64, phash_band_buckets
+from .multimodal import decode_wav, encode_wav
+
+N_FRAMES = 8
+N_BANDS = 9  # 9 band edges of energy → 8 adjacent-band differences
+F_LO = 150.0  # Hz — below this is DC/rumble, not content
+
+#: decoded-sample cap: 32 MB of int16 ≈ 17 min at 16 kHz. A WAV header
+#: can't lie (data chunk length is real bytes), but a crafted giant data
+#: chunk is a CPU bomb for the FFT — same posture as the pixel caps.
+MAX_SAMPLES = 1 << 24
+
+
+def audio_fp64(samples: np.ndarray, rate: int) -> int:
+    """64-bit Haitsma–Kalker fingerprint of mono PCM (int16 or float)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size > MAX_SAMPLES:
+        raise ValueError(
+            f"audio_fp64: {x.size} samples exceeds the {MAX_SAMPLES} cap"
+        )
+    if x.size < 2 * N_FRAMES:
+        raise ValueError("audio_fp64: clip too short to frame")
+    frame_len = x.size // N_FRAMES
+    frames = x[: frame_len * N_FRAMES].reshape(N_FRAMES, frame_len)
+    win = np.hanning(frame_len)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    # log-spaced band edges over [F_LO, Nyquist] in bin units; clamp so
+    # every band holds ≥1 bin even for very short frames
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
+    lo = max(F_LO, freqs[1] if freqs.size > 1 else 0.0)
+    hi = rate / 2.0
+    edges_hz = np.logspace(np.log10(lo), np.log10(hi), N_BANDS + 1)
+    edges = np.searchsorted(freqs, edges_hz)
+    edges = np.maximum.accumulate(np.clip(edges, 1, spec.shape[1]))
+    energies = np.zeros((N_FRAMES, N_BANDS))
+    for b in range(N_BANDS):
+        s, e = edges[b], max(edges[b + 1], edges[b] + 1)
+        energies[:, b] = spec[:, s:e].sum(axis=1)
+    band_diff = energies[:, :-1] - energies[:, 1:]  # (N_FRAMES, 8)
+    dd = band_diff.copy()
+    dd[1:] -= band_diff[:-1]  # time difference; frame 0 = plain diff
+    return _bits_to_i64((dd > 0).reshape(-1))
+
+
+def audio_fp_table(assets: DataFrame) -> DataFrame:
+    """(asset_id, afp:long) for every decodable audio asset. Arrow-batched
+    mapInPandas; undecodable/compressed rows are skipped (they surface via
+    anti-join against the input, the thumbnail_images convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                    fps.append(audio_fp64(samples, rate))
+                except ValueError:
+                    continue
+                ids.append(aid)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, "asset_id long, afp long")
+    )
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(id1, id2, hamming) audio pairs with fingerprint distance ≤
+    max_hamming — the audio twin of `image_dedup.image_near_dup_pairs`,
+    reusing its band-bucket explode verbatim (the fingerprint is just
+    another 64-bit column).
+
+    n_bands defaults to max_hamming + 1 (minimum preserving the pigeonhole
+    guarantee; widest bands → least saturation). Measured on broadband
+    planted groups (gain ±40 %, 0.5 % additive noise): in-group distance
+    ≤ 6, cross-group ≥ 22 — hence the default of 6. That is 7 bands of
+    ⌊64/7⌋=9 bits → 512 buckets per band: viable to ~100k assets per
+    shard at max_bucket=200; larger corpora lower max_hamming or
+    pre-shard by duration bucket.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    fps = audio_fp_table(assets)
+    buckets = phash_band_buckets(fps, "afp", n_bands)
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    left = buckets.select(
+        "bucket", F.col("asset_id").alias("id1"), F.col("afp").alias("fp1")
+    )
+    right = buckets.select(
+        "bucket", F.col("asset_id").alias("id2"), F.col("afp").alias("fp2")
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1", "id2", hamming64("fp1", "fp2").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def synth_audio_corpus(
+    spark,
+    n_groups: int = 6,
+    group_size: int = 3,
+    n_distinct: int = 24,
+    seed: int = 11,
+    rate: int = 16000,
+) -> DataFrame:
+    """Deterministic planted near-dup audio fixture: n_groups BROADBAND
+    base clips (40 random partials with a pink-ish 1/√f amplitude slope
+    and a slow AM envelope — speech/music-shaped content that energizes
+    every log band; a 3-tone clip would leave most bands at noise level
+    and the differential bits meaningless), each re-emitted group_size
+    times through the perturbations a re-encode survives (gain ±40 %,
+    0.5 % additive noise), plus n_distinct unrelated clips. asset_id =
+    group * 1000 + variant for planted rows, 900000+i for distinct rows —
+    tests recover the planted grouping from id // 1000. Same layout
+    contract as synth_image_corpus.
+    """
+    from .multimodal import ASSET_SCHEMA
+
+    rng = np.random.default_rng(seed)
+    n = rate  # 1-second clips
+
+    def clip() -> np.ndarray:
+        t = np.arange(n) / rate
+        freqs = rng.uniform(150, 6000, size=40)
+        amps = 1.0 / np.sqrt(freqs)
+        phases = rng.uniform(0, 2 * np.pi, size=40)
+        w = sum(
+            a * np.sin(2 * np.pi * f * t + p)
+            for f, a, p in zip(freqs, amps, phases)
+        )
+        w = w * (0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(1, 3) * t))
+        return w / np.abs(w).max() * 0.6  # headroom: gain 1.4 never clips
+
+    def enc(w: np.ndarray) -> bytes:
+        return encode_wav(
+            np.clip(w * 32767, -32768, 32767).astype(np.int16), rate
+        )
+
+    rows = []
+    for g in range(n_groups):
+        base = clip()
+        for v in range(group_size):
+            w = base
+            if v > 0:
+                w = w * rng.uniform(0.6, 1.4) + 0.005 * rng.standard_normal(n)
+            rows.append(
+                (g * 1000 + v, "audio", enc(w), "audio/wav", None, None, 1000)
+            )
+    for i in range(n_distinct):
+        rows.append(
+            (900000 + i, "audio", enc(clip()), "audio/wav", None, None, 1000)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -3289,6 +3289,40 @@ def q_video_frame_samples(spark, sf_dir):
     return video_frame_samples(synth_assets(spark, n=48), every_ms=500)
 
 
+# -- Audio / video perceptual dedup (r7) ---------------------------------------
+
+
+@_q("audio_near_dup", None)
+def q_audio_near_dup(spark, sf_dir):
+    """Perceptual near-dup pairs over a deterministic planted audio corpus
+    (no audio fixture exists in /root/testdata — rows-only by design,
+    like image_near_dup). Haitsma–Kalker 64-bit spectral fingerprints
+    through the real WAV codec (operators/audio_dedup.py: pure-numpy FFT
+    in Arrow batches), then the pigeonhole Hamming banding the
+    SimHash/pHash paths share. Planted-group recovery, gain invariance
+    and banding-vs-bruteforce losslessness are pinned in
+    tests/test_audio_dedup.py."""
+    from .operators.audio_dedup import audio_near_dup_pairs, synth_audio_corpus
+
+    assets = synth_audio_corpus(spark, n_groups=8, group_size=3, n_distinct=40)
+    return audio_near_dup_pairs(assets)
+
+
+@_q("video_near_dup", None)
+def q_video_near_dup(spark, sf_dir):
+    """Re-muxed / retimed / trimmed video duplicates from coded-frame
+    hash-set overlap (operators/video_dedup.py) — zero codec work: the
+    ISO-BMFF container layer addresses the coded bytes, xxhash64 runs
+    JVM-side, blocking is the frame-hash equi-join with hot-filler
+    suppression. Rows-only by design (no video fixture in /root/testdata);
+    planted remux/retime/trim recovery and the filler-frame guard are
+    pinned in tests/test_video_dedup.py."""
+    from .operators.video_dedup import synth_video_corpus, video_near_dup_pairs
+
+    assets = synth_video_corpus(spark, n_groups=8, n_distinct=30)
+    return video_near_dup_pairs(assets)
+
+
 # -- Incremental curation (recurring-crawl delta; r6) -------------------------
 
 

@@ -1,0 +1,73 @@
+"""Video coded-frame dedup (VERDICT r6 missing #3): re-muxed / retimed /
+trimmed duplicates recovered with zero codec work, hot filler frames
+suppressed, and mixed/undecodable assets skipped."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dig_entity_resolution_spark.operators.media_container import mux_mp4
+from dig_entity_resolution_spark.operators.multimodal import ASSET_SCHEMA
+from dig_entity_resolution_spark.operators.video_dedup import (
+    synth_video_corpus,
+    video_frame_hashes,
+    video_near_dup_pairs,
+)
+
+
+def test_planted_remux_retime_trim_recovered(spark):
+    assets = synth_video_corpus(spark)
+    pairs = video_near_dup_pairs(assets, min_overlap=0.8).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    assert got, "no near-dup pairs found"
+    # every pair is within one planted group (no false positives)
+    assert all(a // 1000 == b // 1000 and a < 900000 for a, b in got)
+    # every group fully connected: orig-remux, orig-trim, remux-trim
+    for g in range(5):
+        want = {
+            (g * 1000 + 0, g * 1000 + 1),
+            (g * 1000 + 0, g * 1000 + 2),
+            (g * 1000 + 1, g * 1000 + 2),
+        }
+        assert want <= got, (g, got)
+    # the re-mux pair shares ALL sampled frames; the trim pair overlaps
+    # fully relative to the smaller (trimmed) asset
+    by_pair = {(r.id1, r.id2): r.overlap for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    assert by_pair[(0, 2)] == 1.0
+
+
+def test_frame_hashes_distinct_per_asset_and_skip_non_video(spark):
+    from dig_entity_resolution_spark.operators.multimodal import synth_assets
+
+    # a still held across many ticks is ONE hash row (retiming cannot
+    # inflate overlap)
+    frame = bytes(np.random.default_rng(0).integers(0, 256, 100, dtype=np.uint8))
+    rows = [(1, "video", mux_mp4([frame] * 8, [1000] * 8), "video/mp4",
+             None, None, 8000)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hashes = video_frame_hashes(df).collect()
+    assert len(hashes) == 1
+    # mixed asset kinds: only videos contribute
+    assets = synth_assets(spark, n=18)
+    ids = {r.asset_id for r in video_frame_hashes(assets).collect()}
+    assert ids == {i for i in range(18) if i % 3 == 2}
+
+
+def test_hot_filler_frame_suppressed(spark):
+    """A frame shared by EVERY asset (black-frame filler) must not join
+    unrelated assets into pairs."""
+    rng = np.random.default_rng(5)
+    filler = b"\x00" * 128
+    rows = []
+    for i in range(12):
+        own = [bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(4)]
+        fs = [filler] + own
+        rows.append((i, "video", mux_mp4(fs, [1000] * len(fs)), "video/mp4",
+                     None, None, 5000))
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    # max_bucket below the filler's fan-out → suppressed → no pairs at all
+    pairs = video_near_dup_pairs(df, min_overlap=0.2, max_bucket=8).collect()
+    assert pairs == []
+    # without suppression the filler frame would have produced 66 bogus
+    # candidates; with it, nothing clears even a 0.2 overlap
