@@ -166,18 +166,21 @@ def _weights_lit(wt: DsirWeights) -> Column:
 def dsir_logratio_micro(text: Column | str, wt: DsirWeights) -> Column:
     """struct(n_grams long, logratio_micro long) — exact integer log10
     importance ratio of a document, as one native expression. Memoized
-    per (wt, input expression) — the pinned-artifact batches of
+    per (wt, column NAME) — the pinned-artifact batches of
     IncrementalCuration rebuild this tree with the same weights every
-    delta (r7, VERDICT r6 #1)."""
-    c = F.col(text) if isinstance(text, str) else text
-    from .colcache import cached_col
+    delta (r7, VERDICT r6 #1). Only name-derived inputs cache: a
+    DataFrame-bound column carries resolved attribute ids legal only
+    against its own DataFrame (see lm_logprob_micro)."""
+    if isinstance(text, str):
+        from .colcache import cached_col
 
-    return cached_col(
-        "dsir_logratio_micro",
-        (wt,),
-        (str(c),),
-        lambda: _dsir_logratio_micro(c, wt),
-    )
+        return cached_col(
+            "dsir_logratio_micro",
+            (wt,),
+            ("name", text),
+            lambda: _dsir_logratio_micro(F.col(text), wt),
+        )
+    return _dsir_logratio_micro(text, wt)
 
 
 def _dsir_logratio_micro(c: Column, wt: DsirWeights) -> Column:
@@ -212,16 +215,22 @@ def dsir_score_docs(
     """(id, n_grams, logratio_micro) per document. NULL text raises
     in-plan (the bpe/lm/pack contract: a silently-zero doc would pass
     selection unnoticed)."""
-    guarded = F.when(
-        F.col(text_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"dsir_score_docs: NULL {text_col} — filter or fill NULL "
-                "docs before importance scoring"
-            )
-        ),
-    ).otherwise(F.col(text_col))
-    s = dsir_logratio_micro(guarded, wt)
+    from .colcache import cached_col
+
+    def build():
+        guarded = F.when(
+            F.col(text_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"dsir_score_docs: NULL {text_col} — filter or fill "
+                    "NULL docs before importance scoring"
+                )
+            ),
+        ).otherwise(F.col(text_col))
+        return _dsir_logratio_micro(guarded, wt)
+
+    # name-derived guarded tree (cache-safe; see dsir_logratio_micro)
+    s = cached_col("dsir_logratio_micro", (wt,), ("guarded", text_col), build)
     return docs.select(
         F.col(id_col),
         s["n_grams"].alias("n_grams"),

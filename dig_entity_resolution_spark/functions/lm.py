@@ -264,16 +264,24 @@ def lm_logprob_micro(text: Column | str, lm: StupidBackoffLM) -> Column:
     docstring for the per-token convention). The three score tables are
     array LITERALS (constant-folded once; broadcast by value), so a
     full-corpus scoring pass is scan → project → done: no shuffle, no
-    Python, nothing to skew. The whole tree is memoized per (lm, input
-    expression): IncrementalCuration scores every batch under the SAME
-    pinned lm, and rebuilding the three array parses + the zip_with tree
-    was ~2 s of every delta's wall (r7, VERDICT r6 #1)."""
-    c = F.col(text) if isinstance(text, str) else text
-    from .colcache import cached_col
+    Python, nothing to skew. The tree is memoized per (lm, column NAME):
+    IncrementalCuration scores every batch under the SAME pinned lm, and
+    rebuilding the three array parses + the zip_with tree was ~2 s of
+    every delta's wall (r7, VERDICT r6 #1). Only name-derived inputs are
+    cached — a DataFrame-BOUND column (df["text"]) carries resolved
+    attribute ids that are legal only against its own DataFrame
+    (cross-DF reuse raises MISSING_ATTRIBUTES, verified), so caching one
+    would poison later same-named unresolved callers."""
+    if isinstance(text, str):
+        from .colcache import cached_col
 
-    return cached_col(
-        "lm_logprob_micro", (lm,), (str(c),), lambda: _lm_logprob_micro(c, lm)
-    )
+        return cached_col(
+            "lm_logprob_micro",
+            (lm,),
+            ("name", text),
+            lambda: _lm_logprob_micro(F.col(text), lm),
+        )
+    return _lm_logprob_micro(text, lm)
 
 
 def _lm_logprob_micro(c: Column, lm: StupidBackoffLM) -> Column:
@@ -350,16 +358,22 @@ def lm_score_docs(
 ) -> DataFrame:
     """(id, n_words, logp_micro, avg_logp10) per document. NULL text
     raises in-plan — the bpe_token_counts/pack_sequences contract."""
-    guarded = F.when(
-        F.col(text_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"lm_score_docs: NULL {text_col} — filter or fill NULL "
-                "docs before quality scoring"
-            )
-        ),
-    ).otherwise(F.col(text_col))
-    s = lm_logprob_micro(guarded, lm)
+    from .colcache import cached_col
+
+    def build():
+        guarded = F.when(
+            F.col(text_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"lm_score_docs: NULL {text_col} — filter or fill NULL "
+                    "docs before quality scoring"
+                )
+            ),
+        ).otherwise(F.col(text_col))
+        return _lm_logprob_micro(guarded, lm)
+
+    # the guarded tree is name-derived (cache-safe; see lm_logprob_micro)
+    s = cached_col("lm_logprob_micro", (lm,), ("guarded", text_col), build)
     return docs.select(
         F.col(id_col),
         s["n_words"].alias("n_words"),

@@ -167,18 +167,23 @@ def quality_logit_micro(
     CollapseProject inlines into a per-index re-split of the text (the
     notes-#17 pitfall, O(L²) per doc: measured 7.8s → 0.9s at sf0.1).
     The gram count is computed arithmetically (n + max(n−1,0)) for the
-    same reason. Memoized per (weights, input expression) — the model is
-    a fixed artifact and recurring curation batches rebuild the same
-    tree (r7, VERDICT r6 #1)."""
-    c = F.col(text) if isinstance(text, str) else text
-    from .colcache import cached_col
+    same reason. Memoized per (weights, column NAME) — the model is a
+    fixed artifact and recurring curation batches rebuild the same tree
+    (r7, VERDICT r6 #1). Only name-derived inputs cache: a
+    DataFrame-bound column carries resolved attribute ids legal only
+    against its own DataFrame (see lm_logprob_micro)."""
+    if isinstance(text, str):
+        from .colcache import cached_col
 
-    return cached_col(
-        "quality_logit_micro",
-        (weights_micro,),
-        (str(c), int(bias_micro), dim),
-        lambda: _quality_logit_micro(c, weights_micro, bias_micro, dim),
-    )
+        return cached_col(
+            "quality_logit_micro",
+            (weights_micro,),
+            ("name", text, int(bias_micro), dim),
+            lambda: _quality_logit_micro(
+                F.col(text), weights_micro, bias_micro, dim
+            ),
+        )
+    return _quality_logit_micro(text, weights_micro, bias_micro, dim)
 
 
 def _quality_logit_micro(

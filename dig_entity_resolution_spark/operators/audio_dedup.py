@@ -134,6 +134,13 @@ def audio_near_dup_pairs(
     ⌊64/7⌋=9 bits → 512 buckets per band: viable to ~100k assets per
     shard at max_bucket=200; larger corpora lower max_hamming or
     pre-shard by duration bucket.
+
+    Like every 64-bit perceptual hash, this emits CANDIDATES at a chosen
+    precision/recall point: unrelated broadband clips land within
+    hamming 6 by chance at a low rate (measured ~2 per 780 distinct
+    pairs on the synth corpus), so a pipeline wanting exactness follows
+    with a PCM-level verify — the same shape as the MinHash → jaccard
+    verify stage.
     """
     if n_bands is None:
         n_bands = max_hamming + 1

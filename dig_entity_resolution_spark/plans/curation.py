@@ -129,7 +129,9 @@ def quality_audit(
         )
         keep = keep & (F.col("quality_logit_micro") > 0)
     if cfg.keep_ppl_buckets:
-        s = lm_logprob_micro(F.col("text"), lm)
+        # name form (not F.col) so the memoized tree engages — see
+        # lm_logprob_micro's cache-safety note
+        s = lm_logprob_micro("text", lm)
         out = out.withColumn(
             "avg_logp10",
             F.round(lm_avg_logp10(s["n_words"], s["logp_micro"]), 6),

@@ -70,3 +70,25 @@ def test_cache_bounded(spark):
     for i, s in enumerate(sentinels):
         cached_col("bound", (s,), (i,), lambda: F.lit(1))
     assert len(colcache._CACHE) <= colcache._MAX
+
+
+def test_bound_columns_never_cached(spark):
+    """A DataFrame-bound column carries resolved attribute ids legal only
+    against its own DataFrame — caching one would poison later same-named
+    unresolved callers with a MISSING_ATTRIBUTES failure. Bound inputs
+    must bypass the cache entirely."""
+    from dig_entity_resolution_spark.functions.lm import (
+        fit_stupid_backoff,
+        lm_logprob_micro,
+    )
+
+    lm = fit_stupid_backoff("/root/testdata/sf0.001/documents.parquet")
+    d1 = spark.createDataFrame([("alpha beta",)], "text string")
+    d2 = spark.createDataFrame([("alpha beta",)], "text string")
+    bound = lm_logprob_micro(d1["text"], lm)  # bound input: no cache entry
+    named = lm_logprob_micro("text", lm)
+    assert bound is not named
+    # the name-keyed tree still works on BOTH DataFrames afterwards
+    v1 = d1.select(named["logp_micro"].alias("v")).collect()[0].v
+    v2 = d2.select(named["logp_micro"].alias("v")).collect()[0].v
+    assert v1 == v2

@@ -47,7 +47,9 @@ def test_rows_only_queries_register_last():
     # ccnet_buckets swap INTO the gate for a driver-verified round,
     # displacing tpch_q1_agg/docs_cube (pure-SQL rows, no custom operator
     # code, stable since r1/r4) into the deferred tier.
-    assert len(names) >= 73
+    # r7: +audio_near_dup, +video_near_dup (rows-only) → 75 = 50 gate +
+    # 2 deferred + 9 covered + 14 rows-only
+    assert len(names) == 75
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
