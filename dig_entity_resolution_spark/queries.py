@@ -3323,6 +3323,79 @@ def q_video_near_dup(spark, sf_dir):
     return video_near_dup_pairs(assets)
 
 
+# -- Line-level dedup (CCNet/RefinedWeb paragraph stage; r7) -------------------
+
+#: the fixture has no newlines, so the query folds every 5 consecutive
+#: docs into ONE multi-line document (lines = the original texts, ordered
+#: by doc_id) — deterministic in both engines, and the fixture's exact-dup
+#: docs become exactly the cross-document boilerplate lines the operator
+#: exists to strip.
+_LINE_DEDUP_SQL = """WITH docs2 AS (
+  SELECT doc_id // 5 AS doc_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id // 5
+),
+l AS (
+  SELECT doc_id, list_extract(ls, i) AS line, i AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2) t,
+       unnest(range(1, len(ls) + 1)) AS u(i)
+),
+k AS (SELECT DISTINCT doc_id, trim(line) AS key FROM l WHERE trim(line) <> ''),
+c AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT key FROM c)
+)
+SELECT d.doc_id AS record_id,
+       coalesce(string_agg(kept.line, chr(10) ORDER BY kept.pos), '') AS text
+FROM docs2 d LEFT JOIN kept USING (doc_id)
+GROUP BY d.doc_id"""
+
+
+@_q("line_dedup", _LINE_DEDUP_SQL)
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup (operators/line_dedup.py — the
+    CCNet/RefinedWeb paragraph-hash stage): strip lines occurring in ≥2
+    distinct documents (trim-keyed counting, empties kept, original text
+    and order preserved, one output row per input doc). Hash-exact vs
+    the DuckDB twin over a folded multi-line corpus (see _LINE_DEDUP_SQL
+    note). DEFERRED tier — the 50-row gate is full."""
+    from .operators.line_dedup import line_dedup
+
+    docs2 = (
+        _docs(spark, sf_dir)
+        .groupBy(F.expr("doc_id div 5").alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return line_dedup(docs2, min_docs=2).withColumnRenamed(
+        "doc_id", "record_id"
+    )
+
+
+@_q("semdedup", None)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    blocking (operators/ivf.py machinery) → within-cell cosine ≥ 0.97
+    pairs → connected components → keep one per semantic group. Rows-only
+    by design (the k-means fit is float-iterative); planted-group
+    recovery, both keep policies, and the over-cap OR-of-bands sub-split
+    are pinned in tests/test_line_semdedup.py."""
+    from .operators.semdedup import semdedup_corpus
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return semdedup_corpus(vecs, k=16, threshold=0.97).select("vec_id")
+
+
 # -- Incremental curation (recurring-crawl delta; r6) -------------------------
 
 
@@ -3446,7 +3519,10 @@ _INGREDIENT_QUERIES = frozenset(
 #: the two longest-stable pure-SQL gate rows — tpch_q1_agg and docs_cube
 #: exercise no custom operator code (plain agg / CUBE over parquet, green
 #: since r1/r4) and stay verified by the same local sweep.
-_DEFERRED_QUERIES = frozenset({"tpch_q1_agg", "docs_cube"})
+#: r7 addition: line_dedup (new hash-exact standalone; the gate cap is
+#: hard, so it lands in the deferred tier like dsir_select/ccnet_buckets
+#: did at birth — candidates for a future rotation).
+_DEFERRED_QUERIES = frozenset({"tpch_q1_agg", "docs_cube", "line_dedup"})
 
 
 def _ordered_names() -> list[str]:
