@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     # r6 additions
     "packed_chunk_ids",
     "lm_perplexity",
+    # r7 additions
+    "line_dedup",
+    "semdedup",
+    "audio_near_dup",
+    "video_near_dup",
 ]
 
 
