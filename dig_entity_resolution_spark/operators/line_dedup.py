@@ -76,7 +76,11 @@ def line_dedup(
 ) -> DataFrame:
     """(id, text): every document with its corpus-common lines removed,
     remaining lines rejoined in original order. Schema-stable: exactly
-    one output row per input row, empty string when nothing survives."""
+    one output row per input row, empty string when nothing survives.
+    NULL text is treated as an empty document (splits to no rows → ''):
+    this operator is a CLEANER, so it normalizes rather than raising —
+    unlike the tokenize/score stages, where a silently-empty doc would
+    corrupt downstream statistics (their raise_error contract stands)."""
     lines = line_rows(docs, id_col, text_col)
     common = common_lines(docs, min_docs, id_col, text_col).select("key")
     kept = lines.withColumn("_k", F.trim(F.col("line"))).join(

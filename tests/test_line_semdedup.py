@@ -145,3 +145,11 @@ def test_semdedup_overcap_cell_subsplit_still_finds_pairs(spark):
     # every planted pair recovered despite the forced sub-split
     for g in range(4):
         assert (g * 1000, g * 1000 + 1) in got, got
+
+
+def test_line_dedup_null_text_normalizes_to_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real line")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+    assert out == {1: "", 2: "real line"}
