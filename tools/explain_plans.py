@@ -169,6 +169,23 @@ CHECKS = {
         "must": ["Filter"],
         "must_not": ["CartesianProduct", "Exchange", "ArrowEvalPython"],
     },
+    "line_dedup": {
+        # r7 CCNet/RefinedWeb line stage: explode → trim-key groupBy
+        # (map-side partial agg) → anti-join → order-preserving
+        # reassembly. All native string/array expressions — no Python
+        # anywhere, no all-pairs. The common-lines join deliberately
+        # carries no broadcast hint (corpus-dependent size; AQE decides).
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "semdedup": {
+        # r7 SemDeDup: the ONLY Python is the Arrow-batched k-means cell
+        # assignment (MapInPandas, one BLAS matmul per batch) — cosine
+        # verify and the CC keep-one are native. Within-cell join must
+        # never go all-pairs.
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
