@@ -180,10 +180,12 @@ CHECKS = {
     },
     "semdedup": {
         # r7 SemDeDup: the ONLY Python is the Arrow-batched k-means cell
-        # assignment (MapInPandas, one BLAS matmul per batch) — cosine
-        # verify and the CC keep-one are native. Within-cell join must
-        # never go all-pairs.
-        "must": ["MapInPandas"],
+        # assignment (MapInPandas, one BLAS matmul per batch) — but the
+        # CC keep-one localCheckpoints, so the FINAL plan's lineage is
+        # truncated to scan + anti-join (the near_dup_corpus situation):
+        # assert the no-row-Python / no-all-pairs invariants on what
+        # remains.
+        "must": [],
         "must_not": ["CartesianProduct", "BatchEvalPython"],
     },
 }
