@@ -133,3 +133,65 @@ def repetition_stats(
         "distinct_ratio",
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-based document filtering — the RefinedWeb §3.1 "URL filtering" stage
+# (Penedo et al. 2023; public method): a crawl drops documents by their
+# URL alone, BEFORE fetching/extracting costs anything — a domain
+# blocklist plus a soft banned-word score over the URL string. All native
+# string expressions (codegen'd); lists are tiny literals broadcast by
+# value.
+# ---------------------------------------------------------------------------
+
+#: default soft-score fragments — stand-ins for the (much longer) curated
+#: lists production crawls maintain; the OPERATOR is the deliverable, the
+#: lists are config
+DEFAULT_URL_BANNED_WORDS = ("casino", "porn", "viagra", "warez", "xxx")
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL; scheme optional (crawl frontiers carry
+    both forms). Empty string when nothing host-shaped is found."""
+    u = F.lower(F.trim(F.col(url) if isinstance(url, str) else url))
+    no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    return F.regexp_extract(no_scheme, r"^([^/:?#]+)", 1)
+
+
+def url_filter(
+    docs: DataFrame,
+    url_col: str = "url",
+    blocked_domains: tuple[str, ...] = (),
+    banned_words: tuple[str, ...] = DEFAULT_URL_BANNED_WORDS,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Adds (host, blocked, n_word_hits, keep) to `docs`:
+
+    * blocked — host equals a blocklist domain OR is a subdomain of one
+      (``ads.example.com`` matches blocklist entry ``example.com``);
+    * n_word_hits — how many banned words occur as substrings of the
+      whole lowercased URL (the RefinedWeb soft score, unweighted);
+    * keep — not blocked and n_word_hits ≤ max_hits.
+
+    Filtering decisions stay IN the row (audit-table convention — the
+    caller filters on `keep`), and every row survives: a NULL url keeps
+    host='' / blocked=false / hits=0, because URL filtering is advisory
+    hygiene, not a correctness gate."""
+    u = F.lower(F.trim(F.coalesce(F.col(url_col), F.lit(""))))
+    host = url_host(u)
+    blocked = F.lit(False)
+    for d in blocked_domains:
+        dl = d.lower()
+        blocked = blocked | (host == dl) | host.endswith("." + dl)
+    hits = F.lit(0)
+    for w in banned_words:
+        hits = hits + F.when(u.contains(w.lower()), 1).otherwise(0)
+    return (
+        docs.withColumn("host", host)
+        .withColumn("blocked", blocked)
+        .withColumn("n_word_hits", hits.cast("int"))
+        .withColumn(
+            "keep",
+            ~F.col("blocked") & (F.col("n_word_hits") <= F.lit(max_hits)),
+        )
+    )

@@ -3380,6 +3380,91 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+# -- URL filtering (RefinedWeb §3.1; r7) ---------------------------------------
+
+#: URLs synthesized deterministically from (source, doc_id) in BOTH
+#: engines — the url_canonicalize convention; %7 rows carry a banned word,
+#: %5 rows live on a blocklisted domain (subdomain form, so the
+#: suffix-match path is exercised cross-engine).
+_URL_FILTER_SQL = """WITH u AS (
+  SELECT doc_id,
+         lower(trim(CASE
+           WHEN doc_id % 7 = 0 THEN
+             'https://ads.' || source || '.example.com/casino/' || doc_id
+           WHEN doc_id % 5 = 0 THEN
+             'https://' || source || '.blockedsite.test/page/' || doc_id
+           ELSE 'https://www.' || source || '.example.com/article/' || doc_id
+         END)) AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, url,
+         regexp_extract(
+           regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+           '^([^/:?#]+)', 1) AS host
+  FROM u
+),
+s AS (
+  SELECT doc_id, host,
+         (host = 'blockedsite.test'
+          OR host LIKE '%.blockedsite.test') AS blocked,
+         ((CASE WHEN url LIKE '%casino%' THEN 1 ELSE 0 END)
+          + (CASE WHEN url LIKE '%porn%' THEN 1 ELSE 0 END)
+          + (CASE WHEN url LIKE '%viagra%' THEN 1 ELSE 0 END)
+          + (CASE WHEN url LIKE '%warez%' THEN 1 ELSE 0 END)
+          + (CASE WHEN url LIKE '%xxx%' THEN 1 ELSE 0 END))::INT
+           AS n_word_hits
+  FROM h
+)
+SELECT doc_id AS record_id, host, blocked, n_word_hits,
+       (NOT blocked AND n_word_hits <= 0) AS keep
+FROM s"""
+
+
+@_q("url_filter", _URL_FILTER_SQL)
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering (functions/webtext.py url_filter):
+    domain blocklist with subdomain suffix matching + soft banned-word
+    score over the whole URL, decisions kept IN the row (audit-table
+    convention). Hash-exact vs the DuckDB twin over deterministically
+    synthesized URLs. DEFERRED tier — the 50-row gate is full."""
+    from .functions.webtext import url_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    url = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("https://ads."), F.col("source"),
+                F.lit(".example.com/casino/"), F.col("doc_id"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".blockedsite.test/page/"), F.col("doc_id"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/article/"), F.col("doc_id"),
+            )
+        )
+    )
+    withu = d.withColumn("url", url)
+    return url_filter(
+        withu, blocked_domains=("blockedsite.test",), max_hits=0
+    ).select(
+        F.col("doc_id").alias("record_id"),
+        "host",
+        "blocked",
+        "n_word_hits",
+        "keep",
+    )
+
+
 @_q("semdedup", None)
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
@@ -3522,7 +3607,9 @@ _INGREDIENT_QUERIES = frozenset(
 #: r7 addition: line_dedup (new hash-exact standalone; the gate cap is
 #: hard, so it lands in the deferred tier like dsir_select/ccnet_buckets
 #: did at birth — candidates for a future rotation).
-_DEFERRED_QUERIES = frozenset({"tpch_q1_agg", "docs_cube", "line_dedup"})
+_DEFERRED_QUERIES = frozenset(
+    {"tpch_q1_agg", "docs_cube", "line_dedup", "url_filter"}
+)
 
 
 def _ordered_names() -> list[str]:

@@ -91,3 +91,39 @@ def test_repetition_stats(spark):
     assert rows[2] == (1.0, round(1 / 3, 6))
     assert rows[3] == (1.0, 0.0)
     assert rows[4] == (0.0, 0.0)
+
+
+def test_url_filter_contract(spark):
+    """RefinedWeb URL filtering (r7): subdomain suffix matching, soft
+    banned-word counting over the whole URL, NULL-url advisory pass."""
+    from dig_entity_resolution_spark.functions.webtext import url_filter
+
+    rows = [
+        (1, "https://ads.example.com/casino/x"),      # word hit
+        (2, "https://sub.Blocked.TEST/page"),          # subdomain of blocklist
+        (3, "https://blocked.test/root"),              # exact blocklist
+        (4, "https://notblocked.test.org/fine"),       # suffix NOT a match
+        (5, "www.clean.org/xxx-viagra"),               # schemeless, 2 hits
+        (6, None),                                      # advisory: passes
+        (7, "https://clean.org/article"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: (r.host, r.blocked, r.n_word_hits, r.keep)
+        for r in url_filter(df, blocked_domains=("blocked.test",)).collect()
+    }
+    assert out[1] == ("ads.example.com", False, 1, False)
+    assert out[2] == ("sub.blocked.test", True, 0, False)
+    assert out[3] == ("blocked.test", True, 0, False)
+    assert out[4] == ("notblocked.test.org", False, 0, True)
+    assert out[5] == ("www.clean.org", False, 2, False)
+    assert out[6] == ("", False, 0, True)
+    assert out[7] == ("clean.org", False, 0, True)
+    # soft threshold: max_hits=2 lets the 2-hit row through
+    out2 = {
+        r.doc_id: r.keep
+        for r in url_filter(
+            df, blocked_domains=("blocked.test",), max_hits=2
+        ).collect()
+    }
+    assert out2[5] is True and out2[2] is False
