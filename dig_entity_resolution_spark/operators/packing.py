@@ -390,3 +390,39 @@ def pack_chunk_stats(packed: DataFrame, capacity: int) -> DataFrame:
             F.sum("_alloc").cast("long").alias("n_tokens"),
         )
     )
+
+
+def epoch_shuffle(
+    chunks: DataFrame,
+    epoch: int,
+    id_col: str = "chunk_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle of packed chunks:
+    shuffle_rank = dense position of md5(salt:epoch:chunk_id), ties (md5
+    collisions) broken by id. A pure function of (corpus, salt, epoch) —
+    per-epoch reshuffles are just `epoch=n`, resumable mid-epoch by
+    filtering `shuffle_rank > already_consumed`, no RNG state anywhere
+    (the md5-bucket sampling discipline applied to ordering; Lee et al.
+    2022 observe train-order shuffling matters after dedup).
+
+    Scale: row_number over a single ordered window is a global sort —
+    at 10¹² chunks a consumer would range-partition on the hash key
+    instead and take rank within partition + partition offsets (the
+    two-phase prefix-sum trick pack_sequences already uses); the global
+    window keeps the oracle-exact form, and the hash ORDER is identical
+    either way."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    key = md5_long(
+        F.concat_ws(":", F.lit(salt), F.lit(str(epoch)),
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+    return (
+        chunks.withColumn("_skey", key)
+        .withColumn("shuffle_rank", F.row_number().over(w))
+        .drop("_skey")
+    )

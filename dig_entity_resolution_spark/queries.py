@@ -3465,6 +3465,29 @@ def q_url_filter(spark, sf_dir):
     )
 
 
+_CHUNK_SHUFFLE_SQL = """SELECT doc_id AS record_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substring(md5('shuffle:1:' || doc_id), 1, 15))::BIGINT,
+                  doc_id) AS shuffle_rank
+FROM documents"""
+
+
+@_q("chunk_shuffle", _CHUNK_SHUFFLE_SQL)
+def q_chunk_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/packing.py epoch_shuffle):
+    global training order = rank of md5(salt:epoch:id), a pure function
+    of (corpus, salt, epoch) — per-epoch reshuffle is epoch=n, resumable
+    mid-epoch by rank filter, no RNG state. Hash-exact incl. the RANK
+    values (the one ordering-sensitive check in the registry — the
+    driver's compare is order-insensitive over rows, so the rank column
+    carries the order into the value hash). DEFERRED tier."""
+    from .operators.packing import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), epoch=1, id_col="doc_id"
+    ).select(F.col("doc_id").alias("record_id"), "shuffle_rank")
+
+
 @_q("semdedup", None)
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
@@ -3608,7 +3631,7 @@ _INGREDIENT_QUERIES = frozenset(
 #: hard, so it lands in the deferred tier like dsir_select/ccnet_buckets
 #: did at birth — candidates for a future rotation).
 _DEFERRED_QUERIES = frozenset(
-    {"tpch_q1_agg", "docs_cube", "line_dedup", "url_filter"}
+    {"tpch_q1_agg", "docs_cube", "line_dedup", "url_filter", "chunk_shuffle"}
 )
 
 

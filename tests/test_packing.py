@@ -362,3 +362,32 @@ def test_grouped_map_plan_and_guards(spark, ids_df):
     )
     with pytest.raises(Exception, match="non-positive token count"):
         pack_chunk_map_grouped(empty, capacity=8).collect()
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    """r7 epoch_shuffle: a pure function of (corpus, salt, epoch) — same
+    inputs reproduce the exact order, different epochs produce a
+    different one, ranks are a dense 1..N permutation, and mid-epoch
+    resume is a rank filter."""
+    from dig_entity_resolution_spark.operators.packing import epoch_shuffle
+
+    chunks = spark.createDataFrame(
+        [(i,) for i in range(40)], "chunk_id long"
+    )
+    e1 = [r.chunk_id for r in epoch_shuffle(chunks, 1).orderBy("shuffle_rank").collect()]
+    e1b = [r.chunk_id for r in epoch_shuffle(chunks, 1).orderBy("shuffle_rank").collect()]
+    e2 = [r.chunk_id for r in epoch_shuffle(chunks, 2).orderBy("shuffle_rank").collect()]
+    assert e1 == e1b
+    assert e1 != e2
+    assert sorted(e1) == list(range(40)) == sorted(e2)
+    ranks = [r.shuffle_rank for r in epoch_shuffle(chunks, 1).collect()]
+    assert sorted(ranks) == list(range(1, 41))
+    # resume: consuming past rank 25 is a plain filter, same order tail
+    tail = [
+        r.chunk_id
+        for r in epoch_shuffle(chunks, 1)
+        .filter("shuffle_rank > 25")
+        .orderBy("shuffle_rank")
+        .collect()
+    ]
+    assert tail == e1[25:]
