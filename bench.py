@@ -128,13 +128,37 @@ def _bench_queries(spark) -> tuple[dict, dict, dict]:
     return total, construct, execute
 
 
+#: substitution alphabet for synthetic corpus replicas — 13 DISTINCT
+#: letters so rotations 1..12 are all non-identity bijections. (r7 review
+#: find: the r6 7-char vowel alphabet made rotations i∈{7,8,9} the
+#: identity, so 3 of the 10x replicas were byte-identical to replica 0 —
+#: ~30 % exact dups that the 1x corpus didn't have, breaking the
+#: constant-dup-density methodology the sweep claims.)
+_REPLICA_SUBST = "etaoinshrdluc"
+
+
+def _corpus_replica(docs, i: int):
+    """Replica i of a (doc_id, text) corpus: ids offset, text passed
+    through a per-replica letter bijection (rotation of _REPLICA_SUBST).
+    A bijection preserves each replica's INTERNAL dup structure exactly
+    (shingles map 1:1) while making replicas mutually non-near-dup, so
+    dup density is constant across 1x/10x scales. i=0 is the identity."""
+    from pyspark.sql import functions as F
+
+    assert 0 <= i < len(_REPLICA_SUBST)
+    rot = _REPLICA_SUBST[i:] + _REPLICA_SUBST[:i]
+    return docs.select(
+        (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+        F.translate("text", _REPLICA_SUBST, rot).alias("text"),
+    )
+
+
 def _bench_incremental_near_dup(spark) -> dict:
     """VERDICT r5 item 4 evidence: resolving a FIXED-SIZE crawl batch
     against the kept corpus must cost ~the delta, not the corpus. Measured
     as: same 100-doc delta against a 1x corpus (sf0.1 documents) and a 10x
-    corpus (10 vowel-permuted replicas — permutation keeps each replica's
-    internal dup structure but makes replicas mutually non-near-dup, so
-    density is constant across scales). Batch = re-running near_dup_corpus
+    corpus (10 letter-bijection replicas — see _corpus_replica: constant
+    dup density across scales). Batch = re-running near_dup_corpus
     over everything, the cost a non-incremental pipeline pays per batch."""
     import functools
 
@@ -163,18 +187,9 @@ def _bench_incremental_near_dup(spark) -> dict:
     near_dup_delta(near_dup_init(warm), docs.limit(80).join(
         warm.select("doc_id"), "doc_id", "left_anti"))
     release_caches()
-    vowels = "etaoins"
     out: dict = {}
     for label, k in (("corpus_1x", 1), ("corpus_10x", 10)):
-        reps = [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
-                F.translate("text", vowels, vowels[i:] + vowels[:i]).alias(
-                    "text"
-                ),
-            )
-            for i in range(k)
-        ]
+        reps = [_corpus_replica(docs, i) for i in range(k)]
         # Materialize the synthetic corpus ONCE (r6 run-1 lesson: leaving
         # these as lazy translate-union plans meant every state scan inside
         # near_dup_delta re-derived the 10x corpus from scratch — the
@@ -299,18 +314,9 @@ def _bench_incremental_curation(spark) -> dict:
         os.path.join(SF_DIR, "documents.parquet")
     ).select("doc_id", "text")
     cfg = CurationConfig(seq_len=128, bpe_merges=40)
-    vowels = "etaoins"
     out: dict = {}
     for label, k in (("corpus_1x", 1), ("corpus_10x", 10)):
-        reps = [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
-                F.translate("text", vowels, vowels[i:] + vowels[:i]).alias(
-                    "text"
-                ),
-            )
-            for i in range(k)
-        ]
+        reps = [_corpus_replica(docs, i) for i in range(k)]
         all_docs = functools.reduce(_DF.unionByName, reps).localCheckpoint(
             eager=True
         )

@@ -152,10 +152,20 @@ DEFAULT_URL_BANNED_WORDS = ("casino", "porn", "viagra", "warez", "xxx")
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host of a URL; scheme optional (crawl frontiers carry
-    both forms). Empty string when nothing host-shaped is found."""
+    both forms). Empty string when nothing host-shaped is found.
+
+    Blocklist-hardened (r7 review find): userinfo is stripped (WHATWG —
+    everything up to the LAST '@' of the authority; `https://x@evil.test/`
+    must not read host `x@evil.test`, nor `user:pass@evil.test` read
+    `user`), the port is dropped, and trailing dots are removed (the FQDN
+    form `evil.test.` is the same host). Without these, a crawl frontier
+    bypasses the domain blocklist with standard URL tricks."""
     u = F.lower(F.trim(F.col(url) if isinstance(url, str) else url))
     no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
-    return F.regexp_extract(no_scheme, r"^([^/:?#]+)", 1)
+    auth = F.regexp_extract(no_scheme, r"^([^/?#]+)", 1)
+    no_user = F.regexp_replace(auth, r"^.*@", "")
+    host = F.regexp_extract(no_user, r"^([^:]*)", 1)
+    return F.regexp_replace(host, r"\.+$", "")
 
 
 def url_filter(

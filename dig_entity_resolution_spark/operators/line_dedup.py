@@ -22,13 +22,20 @@ Contract (pinned by the DuckDB twin, so every clause is deliberate):
     '\\n'; a document whose every line was boilerplate keeps an empty
     string (the row survives — downstream length filters decide).
 
-100 TB shape: one explode (linear in corpus lines), one groupBy on the
-trimmed-line key with map-side partial aggregation (the same Zipf-skew
-posture as token blocking — the head key "Accept all cookies" partially
-aggregates per partition, never materializing its full posting list),
-one join back, one order-preserving reassembly groupBy. No Python, no
-driver collect; the common-lines set is corpus-dependent so the join is
-AQE-decided (broadcast when small, shuffle when not).
+100 TB shape: TWO linear explode passes over the corpus — the CCNet
+shape exactly (pass 1 counts line hashes, pass 2 strips) — because
+Spark does not share subplans across the count branch and the keep
+branch of one query. Each pass is one groupBy on the trimmed-line key
+with map-side partial aggregation (the same Zipf-skew posture as token
+blocking — the head key "Accept all cookies" partially aggregates per
+partition, never materializing its full posting list), then one join
+back and one order-preserving reassembly groupBy. No Python, no driver
+collect; the common-lines set is corpus-dependent so the join is
+AQE-decided (broadcast when small, shuffle when not). When the double
+extract cost matters at scale, materialize ``line_rows(docs)`` to
+parquet ONCE and pass it as ``lines=`` to both `common_lines` and
+`line_dedup` — then each pass reads the line table instead of
+re-exploding the raw corpus.
 """
 
 from __future__ import annotations
@@ -52,11 +59,14 @@ def common_lines(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """(key, n_docs): trimmed non-empty lines occurring in ≥ min_docs
-    DISTINCT documents — the corpus-wide boilerplate table."""
+    DISTINCT documents — the corpus-wide boilerplate table. Pass a
+    materialized ``line_rows`` table as ``lines=`` to skip the explode."""
+    rows = lines if lines is not None else line_rows(docs, id_col, text_col)
     keys = (
-        line_rows(docs, id_col, text_col)
+        rows
         .select("_id", F.trim(F.col("line")).alias("key"))
         .filter(F.col("key") != "")
         .dropDuplicates(["_id", "key"])
@@ -73,6 +83,7 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """(id, text): every document with its corpus-common lines removed,
     remaining lines rejoined in original order. Schema-stable: exactly
@@ -80,9 +91,16 @@ def line_dedup(
     NULL text is treated as an empty document (splits to no rows → ''):
     this operator is a CLEANER, so it normalizes rather than raising —
     unlike the tokenize/score stages, where a silently-empty doc would
-    corrupt downstream statistics (their raise_error contract stands)."""
-    lines = line_rows(docs, id_col, text_col)
-    common = common_lines(docs, min_docs, id_col, text_col).select("key")
+    corrupt downstream statistics (their raise_error contract stands).
+
+    ``lines=``: a pre-materialized ``line_rows(docs)`` table; both the
+    count pass and the strip pass then read it instead of re-exploding
+    the corpus (the 100 TB posture — see module docstring)."""
+    if lines is None:
+        lines = line_rows(docs, id_col, text_col)
+    common = common_lines(
+        docs, min_docs, id_col, text_col, lines=lines
+    ).select("key")
     kept = lines.withColumn("_k", F.trim(F.col("line"))).join(
         common.withColumnRenamed("key", "_k"), "_k", "left_anti"
     )

@@ -147,7 +147,15 @@ def semdedup_corpus(
         # row is the canonical; every other member drops
         drop = comp.filter(F.col("vid") != F.col("cluster_id")).select("vid")
     else:
-        cent = assign_cells_arrow(vecs, id_col, vec_col, centroids).select(
+        # assign ONLY component members (r7 review find): re-running the
+        # Arrow matmul assignment over the whole corpus to score what is
+        # typically <1 % of rows doubles the most expensive stage, and
+        # MapInPandas blocks semi-join pushdown — so restrict the INPUT
+        # before the assignment, not the output after it
+        members = vecs.join(
+            comp.select(F.col("vid").alias(id_col)), id_col
+        )
+        cent = assign_cells_arrow(members, id_col, vec_col, centroids).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), "cell"
         )
         # cosine to own centroid: one array-of-arrays literal indexed by

@@ -57,7 +57,6 @@ def video_near_dup_pairs(
     hash sets overlap by ≥ min_overlap of the SMALLER set — re-muxed /
     retimed / trimmed duplicates, with zero codec work."""
     h = video_frame_hashes(assets, every_ms=every_ms)
-    sizes = h.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
     hot = (
         h.groupBy("frame_hash")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -65,6 +64,13 @@ def video_near_dup_pairs(
         .select("frame_hash")
     )
     cold = h.join(F.broadcast(hot), "frame_hash", "left_anti")
+    # sizes from the POST-suppression table (r7 review find): counting
+    # suppressed filler frames in the denominator while n_common can only
+    # count surviving ones would sink true duplicates that share filler —
+    # e.g. 7 common cold frames out of 10 total with 3 hot black frames
+    # reads 0.7, below the 0.8 default. A frame every asset shares must
+    # cost no signal on EITHER side of the ratio.
+    sizes = cold.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
     left = cold.select("frame_hash", F.col("asset_id").alias("id1"))
     right = cold.select("frame_hash", F.col("asset_id").alias("id2"))
     common = (

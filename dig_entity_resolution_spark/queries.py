@@ -1544,7 +1544,15 @@ def _dsir_weights_for(sf_dir):
     None and the queries must still run (rows-only), so fit raw counts
     on the sf_dir corpus instead of crashing on `None.w`."""
     wt = _dsir_weights()
-    if wt is None:
+    if wt is not None:
+        return wt
+    # memoize per sf_dir (r7 review find): the fallback fit is a SERIAL
+    # driver-side gram count over the whole corpus; without a cache the
+    # two DSIR queries each repay it every bench sweep
+    cache = getattr(_dsir_weights_for, "_cache", None)
+    if cache is None:
+        cache = _dsir_weights_for._cache = {}
+    if sf_dir not in cache:
         from .functions.dsir import (
             DIM,
             _counts_py,
@@ -1555,8 +1563,8 @@ def _dsir_weights_for(sf_dir):
 
         tgt = _counts_py(default_target_texts(), DIM)
         raw = raw_counts_serial(f"{sf_dir}/documents.parquet")
-        wt = fit_dsir_weights(tgt, raw)
-    return wt
+        cache[sf_dir] = fit_dsir_weights(tgt, raw)
+    return cache[sf_dir]
 
 
 DSIR_K = 100
@@ -3398,10 +3406,18 @@ _URL_FILTER_SQL = """WITH u AS (
   FROM documents
 ),
 h AS (
+  -- mirrors webtext.url_host: authority up to /?#, strip userinfo to
+  -- the LAST '@', drop the port, drop trailing dots (r7 hardening)
   SELECT doc_id, url,
-         regexp_extract(
-           regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
-           '^([^/:?#]+)', 1) AS host
+         regexp_replace(
+           regexp_extract(
+             regexp_replace(
+               regexp_extract(
+                 regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                 '^([^/?#]+)', 1),
+               '^.*@', ''),
+             '^([^:]*)', 1),
+           '\.+$', '') AS host
   FROM u
 ),
 s AS (

@@ -79,3 +79,21 @@ def test_summary_degrades_by_dropping_sections_not_er(bench):
     assert len(line) <= bench._SUMMARY_BUDGET
     parsed = json.loads(line)
     assert "er" in parsed and parsed["er"]["n_pairs"] == 4018570
+
+
+def test_corpus_replicas_distinct_bijections(bench, spark):
+    """r7 review find: the 10x-scale replica transform must be a
+    NON-IDENTITY letter bijection for every i ≥ 1 (the r6 7-char vowel
+    alphabet made i∈{7,8,9} the identity — 30 % of the '10x' corpus was
+    byte-identical to replica 0, inflating exact-dup density)."""
+    n = len(bench._REPLICA_SUBST)
+    assert n >= 10, "need at least 10 distinct rotations"
+    assert len(set(bench._REPLICA_SUBST)) == n, "alphabet letters must be distinct"
+    docs = spark.createDataFrame(
+        [(1, "the quick onshore dilutions chatter")], "doc_id long, text string"
+    )
+    texts = [
+        bench._corpus_replica(docs, i).collect()[0].text for i in range(10)
+    ]
+    assert texts[0] == "the quick onshore dilutions chatter"  # i=0 identity
+    assert len(set(texts)) == 10, "every replica must be pairwise distinct"

@@ -153,3 +153,28 @@ def test_line_dedup_null_text_normalizes_to_empty(spark):
     )
     out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
     assert out == {1: "", 2: "real line"}
+
+
+def test_line_dedup_materialized_lines_identical(spark):
+    """The `lines=` fast path (pass a materialized line_rows table so the
+    count pass and strip pass share one explode) must be result-identical
+    to the two-pass default."""
+    from dig_entity_resolution_spark.operators.line_dedup import line_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept all cookies\nreal prose one\nfooter"),
+            (2, "Accept all cookies\nreal prose two\nfooter"),
+            (3, "unique page\n\n  Accept all cookies  "),
+        ],
+        "doc_id long, text string",
+    )
+    base = {(r.doc_id, r.text) for r in line_dedup(docs).collect()}
+    mat = line_rows(docs).localCheckpoint(eager=True)
+    fast = {(r.doc_id, r.text) for r in line_dedup(docs, lines=mat).collect()}
+    assert fast == base
+    assert base == {
+        (1, "real prose one"),
+        (2, "real prose two"),
+        (3, "unique page\n"),
+    }

@@ -71,3 +71,29 @@ def test_hot_filler_frame_suppressed(spark):
     assert pairs == []
     # without suppression the filler frame would have produced 66 bogus
     # candidates; with it, nothing clears even a 0.2 overlap
+
+
+def test_shared_filler_does_not_sink_true_duplicates(spark):
+    """r7 review find: the overlap denominator must count only frames
+    that SURVIVE hot-bucket suppression — two duplicates that also carry
+    ubiquitous filler frames must still read overlap 1.0."""
+    rng = np.random.default_rng(11)
+    filler = [b"\x00" * 128, b"\xff" * 128, b"\x10" * 128]  # 3 hot frames
+    rows = []
+    # 12 unrelated assets all carrying the filler (makes it hot at
+    # max_bucket=8), each with 4 own frames
+    for i in range(12):
+        own = [bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(4)]
+        rows.append((100 + i, "video", mux_mp4(filler + own, [1000] * 7),
+                     "video/mp4", None, None, 7000))
+    # one true duplicate pair: 7 shared own frames + the 3 filler frames
+    dup = [bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(7)]
+    for aid, durs in ((1, [1000] * 10), (2, [900, 1100] * 5)):  # remuxed
+        rows.append((aid, "video", mux_mp4(filler + dup, durs),
+                     "video/mp4", None, None, 10000))
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {(r.id1, r.id2): r.overlap
+             for r in video_near_dup_pairs(df, min_overlap=0.8,
+                                           max_bucket=8).collect()}
+    # pre-fix this read 7/10 = 0.7 and the pair was dropped
+    assert pairs == {(1, 2): 1.0}
