@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "semdedup",
     "audio_near_dup",
     "video_near_dup",
+    "meta_blocking_wep",
+    "meta_blocking_cnp",
+    "golden_record",
 ]
 
 

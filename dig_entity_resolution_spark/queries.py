@@ -3394,7 +3394,7 @@ def q_line_dedup(spark, sf_dir):
 #: engines — the url_canonicalize convention; %7 rows carry a banned word,
 #: %5 rows live on a blocklisted domain (subdomain form, so the
 #: suffix-match path is exercised cross-engine).
-_URL_FILTER_SQL = """WITH u AS (
+_URL_FILTER_SQL = r"""WITH u AS (
   SELECT doc_id,
          lower(trim(CASE
            WHEN doc_id % 7 = 0 THEN
@@ -3502,6 +3502,158 @@ def q_chunk_shuffle(spark, sf_dir):
     return epoch_shuffle(
         _docs(spark, sf_dir).select("doc_id"), epoch=1, id_col="doc_id"
     ).select(F.col("doc_id").alias("record_id"), "shuffle_rank")
+
+
+# -- Meta-blocking (Papadakis et al. TKDE 2014; r7) ---------------------------
+
+# Shared blocking-graph CTE over the bigram block table: CBS weight = # of
+# blocks each pair shares. Integer weights make the WEP mean comparison
+# exact (w·n ≥ Σw, multiply-through — no float mean on either engine).
+_MB_EDGES_CTE = """
+mb_edges AS (
+  SELECT a.record_id AS id1, b.record_id AS id2, count(*)::BIGINT AS w
+  FROM blocked a JOIN blocked b USING (tok)
+  WHERE a.record_id < b.record_id
+  GROUP BY a.record_id, b.record_id
+)
+"""
+
+
+def _bigram_blocked(spark, sf_dir):
+    """Spark twin of the `blocked` CTE as a (block_key, record_id) table —
+    the meta-blocking input shape."""
+    recs = _records(spark, sf_dir)
+    toks = recs.filter(F.size("tokens") >= 2).select(
+        "record_id", F.explode(word_ngrams("tokens", 2)).alias("block_key")
+    )
+    keys = (
+        toks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= TOKEN_CAP))
+        .select("block_key")
+    )
+    return toks.join(F.broadcast(keys), "block_key")
+
+
+@_q(
+    "meta_blocking_wep",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE}, {_MB_EDGES_CTE},"
+    """
+    mb_tot AS (SELECT count(*)::BIGINT AS n_e, sum(w)::BIGINT AS s_w
+               FROM mb_edges)
+    SELECT id1, id2, w FROM mb_edges, mb_tot WHERE w * n_e >= s_w""",
+)
+def q_meta_blocking_wep(spark, sf_dir):
+    """Meta-blocking, Weight Edge Pruning: CBS-weighted blocking graph
+    over the shared bigram blocks, keep edges with weight ≥ the global
+    mean (operators/meta_blocking.py). Hash-exact: integer CBS weights
+    plus the multiply-through mean comparison. DEFERRED tier (gate cap
+    full — same birth path as line_dedup/url_filter)."""
+    from .operators.meta_blocking import blocking_graph, wep
+
+    return wep(blocking_graph(_bigram_blocked(spark, sf_dir), "cbs"))
+
+
+@_q(
+    "meta_blocking_cnp",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE}, {_MB_EDGES_CTE},"
+    """
+    mb_sym AS (
+      SELECT id1 AS u, id2 AS v, w FROM mb_edges
+      UNION ALL SELECT id2 AS u, id1 AS v, w FROM mb_edges
+    ),
+    mb_kept AS (
+      SELECT DISTINCT least(u, v) AS id1, greatest(u, v) AS id2
+      FROM (SELECT u, v,
+                   row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+            FROM mb_sym)
+      WHERE rn <= 3
+    )
+    SELECT e.id1, e.id2, e.w FROM mb_edges e JOIN mb_kept USING (id1, id2)""",
+)
+def q_meta_blocking_cnp(spark, sf_dir):
+    """Meta-blocking, Cardinality Node Pruning: keep an edge iff it ranks
+    in the top-3 incident edges of either endpoint (rank by weight desc,
+    neighbor asc — deterministic under ties, so hash-exact). DEFERRED
+    tier."""
+    from .operators.meta_blocking import blocking_graph, cnp
+
+    return cnp(blocking_graph(_bigram_blocked(spark, sf_dir), "cbs"), k=3)
+
+
+# -- Survivorship / golden record (r7) ----------------------------------------
+
+
+@_q(
+    "golden_record",
+    f"WITH RECURSIVE {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    f"""
+    shared AS (
+      SELECT a.record_id AS id1, b.record_id AS id2, count(*)::BIGINT AS shared
+      FROM blocked a JOIN blocked b USING (tok)
+      WHERE a.record_id < b.record_id
+      GROUP BY a.record_id, b.record_id
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM shared WHERE shared >= {_CC_SHARED_GRAMS}
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    cc(n, c) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT sym.dst, cc.c FROM cc JOIN sym ON cc.n = sym.src WHERE cc.c < sym.dst
+    ),
+    assign0 AS (SELECT n AS record_id, min(c) AS cluster_id FROM cc GROUP BY n),
+    member AS (
+      SELECT r.record_id, coalesce(a.cluster_id, r.record_id) AS cluster_id,
+             r.lang, r.norm_text
+      FROM records r LEFT JOIN assign0 a USING (record_id)
+    ),
+    spine AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_members, min(record_id) AS rep_id
+      FROM member GROUP BY cluster_id
+    ),
+    lang_win AS (
+      SELECT cluster_id, lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, lang) AS rn
+        FROM (SELECT cluster_id, lang, count(*) AS n FROM member
+              WHERE lang IS NOT NULL GROUP BY cluster_id, lang)
+      ) WHERE rn = 1
+    ),
+    text_win AS (
+      SELECT cluster_id, norm_text FROM (
+        SELECT cluster_id, norm_text,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY length(norm_text) DESC, norm_text)
+                 AS rn
+        FROM member WHERE norm_text IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT s.cluster_id, s.n_members, s.rep_id, l.lang, t.norm_text
+    FROM spine s
+    LEFT JOIN lang_win l USING (cluster_id)
+    LEFT JOIN text_win t USING (cluster_id)""",
+)
+def q_golden_record(spark, sf_dir):
+    """Survivorship over the connected_components assignment: one
+    canonical row per cluster — majority lang (ties by value asc),
+    longest norm_text (ties by value asc), min record id as the stable
+    representative, cluster size (operators/survivorship.py). Fully
+    deterministic, so the DuckDB twin (recursive-CTE CC + the same
+    windows) hash-matches. DEFERRED tier."""
+    from .operators.survivorship import golden_records
+
+    recs = _records(spark, sf_dir)
+    assign = q_connected_components(spark, sf_dir)
+    return golden_records(
+        recs.select("record_id", "lang", "norm_text"),
+        assign,
+        rules={"lang": "majority", "norm_text": "longest"},
+    )
 
 
 @_q("semdedup", None)
@@ -3645,9 +3797,20 @@ _INGREDIENT_QUERIES = frozenset(
 #: since r1/r4) and stay verified by the same local sweep.
 #: r7 addition: line_dedup (new hash-exact standalone; the gate cap is
 #: hard, so it lands in the deferred tier like dsir_select/ccnet_buckets
-#: did at birth — candidates for a future rotation).
+#: did at birth — candidates for a future rotation). Later-r7 additions
+#: meta_blocking_wep/meta_blocking_cnp/golden_record follow the same
+#: path: hash-exact standalones born after the cap filled.
 _DEFERRED_QUERIES = frozenset(
-    {"tpch_q1_agg", "docs_cube", "line_dedup", "url_filter", "chunk_shuffle"}
+    {
+        "tpch_q1_agg",
+        "docs_cube",
+        "line_dedup",
+        "url_filter",
+        "chunk_shuffle",
+        "meta_blocking_wep",
+        "meta_blocking_cnp",
+        "golden_record",
+    }
 )
 
 

@@ -37,7 +37,7 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 64
+    assert len(oracle_backed) == 67
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
     # +dsir_resample_production, +curation_incremental (all rows-only);
     # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
@@ -48,18 +48,20 @@ def test_rows_only_queries_register_last():
     # displacing tpch_q1_agg/docs_cube (pure-SQL rows, no custom operator
     # code, stable since r1/r4) into the deferred tier.
     # r7: +audio_near_dup, +video_near_dup, +semdedup (rows-only);
-    # +line_dedup, +url_filter, +chunk_shuffle (hash-exact, deferred
-    # tier) → 79 = 50 gate + 5 deferred + 9 covered + 15 rows-only
-    assert len(names) == 79
+    # +line_dedup, +url_filter, +chunk_shuffle, +meta_blocking_wep,
+    # +meta_blocking_cnp, +golden_record (hash-exact, deferred tier)
+    # → 82 = 50 gate + 8 deferred + 9 covered + 15 rows-only
+    assert len(names) == 82
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
     # deferred standalone entries come directly after the gate prefix
     assert Q._DEFERRED_QUERIES == {
         "tpch_q1_agg", "docs_cube", "line_dedup", "url_filter",
-        "chunk_shuffle",
+        "chunk_shuffle", "meta_blocking_wep", "meta_blocking_cnp",
+        "golden_record",
     }
-    assert set(names[50:55]) == Q._DEFERRED_QUERIES
+    assert set(names[50:58]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root

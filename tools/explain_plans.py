@@ -188,6 +188,29 @@ CHECKS = {
         "must": [],
         "must_not": ["CartesianProduct", "BatchEvalPython"],
     },
+    "meta_blocking_wep": {
+        # r7 meta-blocking WEP: pair-key groupBy (map-side partial agg)
+        # for CBS weights; the global-mean threshold is a 1-row aggregate
+        # crossJoined back as a BroadcastNestedLoopJoin (the evaluate.py
+        # pattern — NOT a CartesianProduct); all native, no Python.
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "meta_blocking_cnp": {
+        # r7 meta-blocking CNP: per-node top-k is a row_number Window over
+        # the symmetrized edges (node-degree-bounded partitions thanks to
+        # the upstream block caps); kept-pair semi-join; no Python.
+        "must": ["Window"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "golden_record": {
+        # r7 survivorship: CC assignment localCheckpoints (truncated
+        # lineage, the near_dup_corpus situation); the consolidation
+        # itself is spine groupBy + majority/longest row_number Windows
+        # keyed on cluster_id — native, no Python, no all-pairs.
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
 }
 
 
