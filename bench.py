@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "meta_blocking_wep",
     "meta_blocking_cnp",
     "golden_record",
+    "blocking_quality",
 ]
 
 

@@ -63,6 +63,9 @@ def blocking_quality(
       pair_completeness  = |true pairs ∩ candidates| / |true pairs|
                            (blocking recall ceiling — a true pair not in
                            any shared block can never be matched)
+      pair_quality       = |true pairs ∩ candidates| / |candidates|
+                           (candidate precision — how much scoring work
+                           the blocks waste on non-matches)
       reduction_ratio    = 1 - |candidates| / C(n_records, 2)
                            (how much of the quadratic pair space blocking
                            pruned)
@@ -84,6 +87,9 @@ def blocking_quality(
         "n_cand",
         (F.col("n_covered") / F.greatest(F.col("n_true"), F.lit(1))).alias(
             "pair_completeness"
+        ),
+        (F.col("n_covered") / F.greatest(F.col("n_cand"), F.lit(1))).alias(
+            "pair_quality"
         ),
         (1.0 - F.col("n_cand") / F.lit(max(total_pairs, 1.0))).alias(
             "reduction_ratio"

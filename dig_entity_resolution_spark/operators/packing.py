@@ -202,6 +202,41 @@ def pack_chunk_map(
     )
 
 
+#: Per-group local chunk-index width: each packing group owns 2^28 chunk
+#: slots (≈550 B tokens per group at capacity 2048 — far past any sane
+#: group). r7: was 2^40, which at capacity 2048 capped group_hex at 2 =
+#: 256 groups per batch, making the repair unit (one group) CORPUS-
+#: proportional — the measured 10× incr-curation sweep tombstoned 15×
+#: the chunks for the same removal count. 28 bits frees the headroom:
+#: 4·group_hex + GROUP_CHUNK_BITS + log2(capacity) ≤ 62 admits
+#: group_hex 5 (1M groups) at capacity 2048.
+GROUP_CHUNK_BITS = 28
+GROUP_STRIDE = 1 << GROUP_CHUNK_BITS
+
+
+def auto_group_hex(
+    n_docs: int, capacity: int, target_group_docs: int = 64
+) -> int:
+    """Smallest group_hex whose expected group holds ≤ target_group_docs
+    docs, clamped to the int64 virtual-coordinate bound. Keeps the
+    incremental-repair unit (one group) roughly CONSTANT as the corpus
+    grows, instead of corpus/16^fixed — the target trades repair cost
+    (smaller groups repack less) against padding waste (one underfilled
+    tail chunk per non-empty group)."""
+    if target_group_docs < 1:
+        raise ValueError(
+            f"target_group_docs must be >= 1, got {target_group_docs}"
+        )
+    g = 0
+    while g < 6 and n_docs > target_group_docs * (16**g):
+        g += 1
+    while g > 0 and (
+        (1 << (4 * g)) * GROUP_STRIDE * capacity > (1 << 62)
+    ):
+        g -= 1
+    return g
+
+
 def pack_chunk_map_grouped(
     ids_df: DataFrame,
     id_col: str = "doc_id",
@@ -212,9 +247,9 @@ def pack_chunk_map_grouped(
 ) -> DataFrame:
     """pack_chunk_map, but docs are md5-bucketed into 16^group_hex
     INDEPENDENT packing streams: chunk numbering restarts per group
-    (chunk_id = group * 2^40 + local index, with global_start in the
-    same virtual coordinates, so chunks_from_map's slice arithmetic
-    works verbatim) and a chunk NEVER crosses groups.
+    (chunk_id = group * 2^GROUP_CHUNK_BITS + local index, with
+    global_start in the same virtual coordinates, so chunks_from_map's
+    slice arithmetic works verbatim) and a chunk NEVER crosses groups.
 
     This is the removability-friendly layout the incremental curation
     pipeline packs with: in a single concat-and-chunk stream every chunk
@@ -226,27 +261,30 @@ def pack_chunk_map_grouped(
     underfilled tail chunk per group, negligible once groups hold many
     docs. It is also the better 100 TB shape: the running sum is an
     ordinary window partitioned by group (no cross-group offset join at
-    all), parallelism = #groups.
+    all), parallelism = #groups. Size group_hex to the batch
+    (auto_group_hex) so the repair unit stays constant as corpora grow.
 
     group_hex=0 degenerates to ONE stream (pack_chunk_map's layout with
     per-group repair semantics) — a test/debug shape. The virtual
-    coordinate space is (16^group_hex) * 2^40 * capacity, validated
-    against int64 below (e.g. capacity 2048 admits group_hex <= 2,
-    capacity 128 admits group_hex <= 3).
+    coordinate space is (16^group_hex) * 2^GROUP_CHUNK_BITS * capacity,
+    validated against int64 below (capacity 2048 admits group_hex <= 5);
+    a group overflowing its 2^GROUP_CHUNK_BITS chunk slots raises loudly
+    in-plan rather than silently colliding with the next group.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    if not 0 <= group_hex <= 5:
-        raise ValueError(f"group_hex must be in [0, 5], got {group_hex}")
-    # virtual coordinates reach (16^group_hex) * 2^40 * capacity — that
+    if not 0 <= group_hex <= 6:
+        raise ValueError(f"group_hex must be in [0, 6], got {group_hex}")
+    # virtual coordinates reach (16^group_hex) * 2^bits * capacity — that
     # product must stay inside int64 or ANSI mode throws mid-job (and a
-    # non-ANSI engine would silently wrap; review r6: group_hex=4 with
-    # the default capacity 2048 overflows)
-    if (1 << (4 * group_hex)) * (1 << 40) * capacity > (1 << 62):
+    # non-ANSI engine would silently wrap; review r6: an over-wide config
+    # must be rejected at construction, not discovered mid-job)
+    if (1 << (4 * group_hex)) * GROUP_STRIDE * capacity > (1 << 62):
         raise ValueError(
             f"group_hex={group_hex} with capacity={capacity} overflows the "
-            "virtual chunk coordinates (need 16^group_hex * 2^40 * capacity "
-            "<= 2^62) — lower group_hex or capacity"
+            "virtual chunk coordinates (need 16^group_hex * "
+            f"2^{GROUP_CHUNK_BITS} * capacity <= 2^62) — lower group_hex "
+            "or capacity"
         )
     ord_key = F.when(
         F.col(id_col).isNull(),
@@ -280,7 +318,18 @@ def pack_chunk_map_grouped(
         .orderBy("_ord", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    base_chunk = F.col("pack_group") * F.lit(1 << 40)
+    base_chunk = F.col("pack_group") * F.lit(GROUP_STRIDE)
+    local_last = F.expr(f"(_lend - 1) div {capacity}")
+    guarded_last = F.when(
+        local_last >= F.lit(GROUP_STRIDE),
+        F.raise_error(
+            F.lit(
+                "pack_chunk_map_grouped: a group overflowed its "
+                f"2^{GROUP_CHUNK_BITS} chunk slots — raise group_hex "
+                "(more, smaller groups)"
+            )
+        ).cast("long"),
+    ).otherwise(local_last)
     out = (
         base.withColumn("_lend", F.sum("n_tokens").over(w))
         .withColumn("_lstart", F.col("_lend") - F.col("n_tokens"))
@@ -290,9 +339,7 @@ def pack_chunk_map_grouped(
         .withColumn(
             "first_chunk", base_chunk + F.expr(f"_lstart div {capacity}")
         )
-        .withColumn(
-            "last_chunk", base_chunk + F.expr(f"(_lend - 1) div {capacity}")
-        )
+        .withColumn("last_chunk", base_chunk + guarded_last)
     )
     return out.select(
         F.col(id_col),

@@ -44,7 +44,11 @@ pack_chunk_map_grouped: each batch packs into 16^group_hex independent
 md5-group streams, so the repair unit is the GROUP — tombstone the
 removed docs' groups' chunks, re-emit those groups' still-live docs in
 the current batch's new stream. One join, no closure loop, repair cost
-≤ (#removed groups) × (batch docs / 16^group_hex). Token coverage
+≤ (#removed groups) × (batch docs / 16^group_hex). group_hex is sized
+PER BATCH (auto_group_hex, r7): a fixed group count makes the repair
+unit corpus-proportional — the measured 10× sweep tombstoned 15× the
+chunks for the same removals — so groups track ~target_group_docs docs
+regardless of batch size. Token coverage
 stays EXACT: every live doc's ids appear exactly once across live
 chunks (pinned by test_chunk_coverage_after_merge_removal).
 
@@ -93,7 +97,11 @@ from ..operators.dedup_incremental import (
     near_dup_emit,
     near_dup_init,
 )
-from ..operators.packing import chunks_from_map, pack_chunk_map_grouped
+from ..operators.packing import (
+    auto_group_hex,
+    chunks_from_map,
+    pack_chunk_map_grouped,
+)
 from .checkpoint import ParquetCheckpoint
 from .curation import (
     CurationConfig,
@@ -236,10 +244,17 @@ class IncrementalCuration:
         warehouse: str,
         run_id: str = "cur_incr0",
         config: CurationConfig | None = None,
-        group_hex: int = 2,
+        group_hex: int | None = None,
         audit_trail: bool = False,
+        target_group_docs: int = 64,
     ):
-        """`audit_trail=True` durably checkpoints every intermediate delta
+        """`group_hex=None` (default) sizes the packing-group count per
+        batch with auto_group_hex so each group holds ~target_group_docs
+        docs — the repair unit stays constant as the corpus grows. Pass
+        an int to pin a fixed group count (tests; group_hex=0 = one
+        stream).
+
+        `audit_trail=True` durably checkpoints every intermediate delta
         stage (b{n}_hygiene/quality/dedup/decontam/selected) like r6 did.
         The default is LEAN (r7, VERDICT r6 #1): only `b{n}_chunks` — the
         one artifact live_chunks() reads back — is written per batch;
@@ -252,6 +267,7 @@ class IncrementalCuration:
         self.spark = spark
         self.cfg = config or CurationConfig()
         self.group_hex = group_hex
+        self.target_group_docs = target_group_docs
         self.audit_trail = audit_trail
         if self.cfg.select_k is not None:
             raise ValueError(
@@ -309,13 +325,24 @@ class IncrementalCuration:
                 F.size("token_ids") > 0
             )
         )
+        # per-batch group sizing: the repair unit must stay ~constant as
+        # corpora grow (fixed 16^g groups made it corpus-proportional —
+        # r7 10× sweep). ids is already snapped, so the count is one
+        # cheap metadata-ish job over the materialized segment.
+        g = (
+            self.group_hex
+            if self.group_hex is not None
+            else auto_group_hex(
+                ids.count(), self.cfg.seq_len, self.target_group_docs
+            )
+        )
         salt = f"pack:b{batch:04d}"
         m = _snap(
             pack_chunk_map_grouped(
                 ids,
                 capacity=self.cfg.seq_len,
                 salt=salt,
-                group_hex=self.group_hex,
+                group_hex=g,
             ).withColumn("batch", F.lit(batch))
         )
         chunks = chunks_from_map(

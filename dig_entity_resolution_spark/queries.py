@@ -3656,6 +3656,64 @@ def q_golden_record(spark, sf_dir):
     )
 
 
+# -- Blocking-quality metrics (Christen 2012 ch.7 §7.3; r7) -------------------
+
+
+@_q(
+    "blocking_quality",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    """
+    truth AS (
+      SELECT a.record_id AS id1, b.record_id AS id2
+      FROM records a JOIN records b
+        ON a.norm_text = b.norm_text AND a.record_id < b.record_id
+      WHERE length(a.norm_text) > 0
+    ),
+    covered AS (
+      SELECT t.id1, t.id2 FROM truth t
+      JOIN pairs p ON p.id1 = t.id1 AND p.id2 = t.id2
+    ),
+    agg AS (
+      SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+             (SELECT count(*) FROM covered)::BIGINT AS n_covered,
+             (SELECT count(*) FROM pairs)::BIGINT AS n_cand,
+             (SELECT count(*) FROM records)::BIGINT AS n
+    )
+    SELECT n_true, n_covered, n_cand,
+           round(n_covered / greatest(n_true, 1), 6) AS pair_completeness,
+           round(n_covered / greatest(n_cand, 1), 6) AS pair_quality,
+           round(1.0 - n_cand / greatest(n * (n - 1) / 2.0, 1.0), 6)
+             AS reduction_ratio
+    FROM agg""",
+)
+def q_blocking_quality(spark, sf_dir):
+    """Blocking evaluation triple (operators/evaluate.py
+    blocking_quality): pair completeness / pair quality / reduction ratio
+    of the shared bigram blocking against exact-duplicate ground truth
+    (records sharing a non-empty norm_text). One row; counts integer,
+    ratios rounded to 6 on both engines. DEFERRED tier."""
+    from .operators.evaluate import blocking_quality
+
+    recs = _records(spark, sf_dir)
+    keyed = recs.filter(F.length("norm_text") > 0)
+    t1 = keyed.select(F.col("record_id").alias("id1"), F.col("norm_text").alias("_t"))
+    t2 = keyed.select(F.col("record_id").alias("id2"), F.col("norm_text").alias("_t"))
+    truth = (
+        t1.join(t2, "_t")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.lit(True).alias("label"))
+    )
+    q = blocking_quality(_token_pairs(spark, sf_dir), truth, recs.count())
+    return q.select(
+        "n_true",
+        "n_covered",
+        "n_cand",
+        F.round("pair_completeness", R6).alias("pair_completeness"),
+        F.round("pair_quality", R6).alias("pair_quality"),
+        F.round("reduction_ratio", R6).alias("reduction_ratio"),
+    )
+
+
 @_q("semdedup", None)
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
@@ -3810,6 +3868,7 @@ _DEFERRED_QUERIES = frozenset(
         "meta_blocking_wep",
         "meta_blocking_cnp",
         "golden_record",
+        "blocking_quality",
     }
 )
 

@@ -69,8 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         "--select-k (use --select-frac)",
     )
     p.add_argument(
-        "--group-hex", type=int, default=2,
-        help="incremental packing stream granularity (16^n groups)",
+        "--group-hex", type=int, default=None,
+        help="incremental packing stream granularity (16^n groups); "
+        "default auto-sizes per batch so groups hold ~64 docs (the "
+        "repair unit stays constant as the corpus grows)",
     )
     p.add_argument(
         "--audit-trail", action="store_true",

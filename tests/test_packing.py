@@ -8,9 +8,25 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dig_entity_resolution_spark.operators.packing import (
+    GROUP_STRIDE,
+    auto_group_hex,
     pack_chunk_stats,
     pack_sequences,
 )
+
+
+def test_auto_group_hex_tracks_batch_size():
+    # groups hold <= target docs until the int64 coordinate bound bites
+    assert auto_group_hex(50, 2048, target_group_docs=64) == 0
+    assert auto_group_hex(100, 2048, target_group_docs=64) == 1
+    assert auto_group_hex(50_000, 2048, target_group_docs=64) == 3
+    assert auto_group_hex(500_000, 2048, target_group_docs=64) == 4
+    # 100M docs wants 16^6 but capacity 2048 admits at most group_hex 5
+    assert auto_group_hex(100_000_000, 2048, target_group_docs=64) == 5
+    # smaller capacity frees coordinate bits: group_hex 6 is admissible
+    assert auto_group_hex(10**9, 64, target_group_docs=16) == 6
+    with pytest.raises(ValueError, match="target_group_docs"):
+        auto_group_hex(100, 2048, target_group_docs=0)
 
 
 @pytest.fixture(scope="module")
@@ -291,18 +307,19 @@ def test_grouped_map_streams_are_independent_and_exact(spark, ids_df):
 
     cap = 8
     m = pack_chunk_map_grouped(ids_df, capacity=cap, group_hex=2)
+    stride = GROUP_STRIDE
     rows = m.collect()
     base = {r.doc_id: r for r in rows}
     by_group: dict = {}
     for r in rows:
-        assert r.first_chunk // (1 << 40) == r.pack_group
-        assert r.last_chunk // (1 << 40) == r.pack_group
-        assert r.global_start // cap >= r.pack_group * (1 << 40)
+        assert r.first_chunk // stride == r.pack_group
+        assert r.last_chunk // stride == r.pack_group
+        assert r.global_start // cap >= r.pack_group * stride
         by_group.setdefault(r.pack_group, []).append(r)
     for g, rs in by_group.items():
         starts = sorted(r.global_start for r in rs)
         # contiguous: starts begin at the group base and stack n_tokens
-        pos = g * (1 << 40) * cap
+        pos = g * stride * cap
         for s, r in zip(starts, sorted(rs, key=lambda r: r.global_start)):
             assert s == pos
             pos += r.n_tokens
@@ -348,8 +365,11 @@ def test_grouped_map_plan_and_guards(spark, ids_df):
     for bad in ("BroadcastHashJoin", "CartesianProduct",
                 "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, bad
-    with pytest.raises(ValueError):
-        pack_chunk_map_grouped(ids_df, capacity=8, group_hex=6)
+    with pytest.raises(ValueError, match=r"\[0, 6\]"):
+        pack_chunk_map_grouped(ids_df, capacity=8, group_hex=7)
+    # int64 coordinate bound: 4g + GROUP_CHUNK_BITS + log2(cap) > 62
+    with pytest.raises(ValueError, match="overflows"):
+        pack_chunk_map_grouped(ids_df, capacity=2048, group_hex=6)
     with pytest.raises(ValueError):
         pack_chunk_map_grouped(ids_df, capacity=0)
     bad_id = spark.createDataFrame(

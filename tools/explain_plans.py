@@ -211,6 +211,13 @@ CHECKS = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "blocking_quality": {
+        # r7 blocking-evaluation triple: truth/covered/candidate counts
+        # are 1-row aggregates composed by broadcast nested-loop joins
+        # (never a CartesianProduct of data tables); all native.
+        "must": ["BroadcastNestedLoopJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
 }
 
 
