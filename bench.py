@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "meta_blocking_cnp",
     "golden_record",
     "blocking_quality",
+    "fellegi_sunter",
 ]
 
 

@@ -210,11 +210,21 @@ def near_dup_init(
         _snap(edges),
         _snap(assign),
     )
+    # docs is a state table like the others and MUST be a snapped leaf:
+    # left lazy, every later action that scans state.docs (delta's
+    # old-endpoint hydration, near_dup_emit, downstream consumers)
+    # re-executes the caller's whole upstream plan — IncrementalCuration
+    # hands in survivors = quality-parquet → exact_dup_groups → anti-join,
+    # and the 10x profile showed that plan re-running inside the delta
+    # (near_dup stage 6.7→15.6 s while the standalone bench, whose input
+    # was already checkpointed, stayed flat). Snapping an already-
+    # checkpointed input is a cheap no-op copy; at 100 TB state.docs is
+    # bucketed parquet and this is a durable write instead (notes #57).
     return NearDupState(
         id_col=id_col,
         text_col=text_col,
         cfg=cfg,
-        docs=docs,
+        docs=_snap(docs),
         buckets=buckets,
         counts=counts,
         hot=hot,

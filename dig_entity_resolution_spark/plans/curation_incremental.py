@@ -277,6 +277,8 @@ class IncrementalCuration:
             )
         self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
         self.state: CurationState | None = None
+        #: per-stage wall of the most recent delta() — profiling hook
+        self.last_delta_timings: dict[str, float] = {}
 
     # -- shared per-doc stages -------------------------------------------
 
@@ -453,6 +455,20 @@ class IncrementalCuration:
         n = st.batch_no
         tag = f"b{n:04d}"
 
+        # per-stage wall clock of the eager materializations, for
+        # profiling/observability (each _snap/ck.write below is an
+        # action; everything between two marks is one stage's work)
+        import time as _time
+
+        _tm: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(stage: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            _tm[stage] = round(now - _t0, 3)
+            _t0 = now
+
         # lean default: materialize (compute-once) without the durable
         # write — see __init__. hygiene is consumed only by quality, so
         # lean mode never materializes it separately at all.
@@ -469,6 +485,7 @@ class IncrementalCuration:
             ),
         )
         kept = qual.filter(F.col("keep")).select(*_DOC_COLS)
+        _mark("quality")
 
         # exact dedup vs state: first-seen-wins. Delta-keyed, and in the
         # scan-not-shuffle form: an anti-join with the corpus-sized state
@@ -484,17 +501,30 @@ class IncrementalCuration:
             "content_key",
             "left_semi",
         ).select("content_key")
-        fresh = keyed.join(hit_keys, "content_key", "left_anti")
+        # SNAP fresh (delta-bounded) so the corpus-sized content_keys
+        # probe runs ONCE: fresh's plan embeds that scan, and leaving it
+        # lazy meant every downstream materialization — new_keys here,
+        # plus each snapped segment inside near_dup_delta via survivors —
+        # re-ran it (the notes-#52 lazy-input class; measured at the 10x
+        # sweep as the near_dup stage growing 6.7→15.6s while the
+        # standalone incr_near_dup delta stayed flat). survivors is
+        # snapped too so near_dup_delta's internal actions replay a
+        # 100-row leaf, not a groupBy.
+        fresh = _snap(keyed.join(hit_keys, "content_key", "left_anti"))
         canon = fresh.groupBy("content_key").agg(
             F.min("doc_id").alias("doc_id")
         )
-        survivors = fresh.join(
-            canon, ["content_key", "doc_id"], "left_semi"
-        ).select(*_DOC_COLS)
+        survivors = _snap(
+            fresh.join(canon, ["content_key", "doc_id"], "left_semi").select(
+                *_DOC_COLS
+            )
+        )
         new_keys = _snap(canon.select("content_key", "doc_id"))
+        _mark("exact_dedup")
 
         nd2 = near_dup_delta(st.nd, survivors, check_new_ids=check_new_ids)
         upsert = _snap(near_dup_emit(nd2, only_touched=True))
+        _mark("near_dup")
         if self.audit_trail:
             ck.write(f"{tag}_dedup", upsert)
 
@@ -515,6 +545,7 @@ class IncrementalCuration:
                 upsert_ids, "doc_id", "left_anti"
             )
         )
+        _mark("removals")
 
         # additions: upsert survivors not already shipped, through the
         # pinned decontam + DSIR gates. Same scan-not-shuffle shape: probe
@@ -536,6 +567,7 @@ class IncrementalCuration:
                 scored.select("doc_id", "logratio_micro"), "doc_id"
             ).select(*[F.col(c) for c in decon.columns], "logratio_micro")
         add = dur(f"{tag}_selected", add)
+        _mark("decontam_select")
 
         # chunk repair, group-bounded by the pack layout: a removed doc
         # invalidates its (batch, pack_group) streams; every live doc of
@@ -558,6 +590,7 @@ class IncrementalCuration:
             .select("batch", "chunk_id")
             .dropDuplicates(["batch", "chunk_id"])
         )
+        _mark("chunk_repair")
 
         # re-emit: affected docs that are still live get their FULL token
         # arrays repacked into this batch's stream (their old chunks are
@@ -567,9 +600,18 @@ class IncrementalCuration:
             nd2.docs.join(reemit_ids, "doc_id", "left_semi")
             .select("doc_id", "text")
         )
-        pack_in = add.select("doc_id", "text").unionByName(reemit_docs)
+        # SNAP before _pack's BPE encode: left lazy, the optimizer can
+        # push the encode's size(token_ids)>0 filter — with the whole
+        # token-id expression inlined — below this corpus-sized semi-join
+        # (the notes-#52 pushdown class), encoding every state doc
+        # instead of the ~group-sized re-emit set. The snap is
+        # delta-bounded: additions + affected-group survivors.
+        pack_in = _snap(
+            add.select("doc_id", "text").unionByName(reemit_docs)
+        )
         chunks, new_map, packed_ids = self._pack(pack_in, batch=n)
         chunks = ck.write(f"{tag}_chunks", chunks)
+        _mark("pack")
 
         new_add_ids = _snap(packed_ids.join(reemit_ids, "doc_id", "left_anti"))
         self.state = CurationState(
@@ -584,6 +626,8 @@ class IncrementalCuration:
             ).unionByName(new_map),
             batch_no=n + 1,
         )
+        _mark("state_update")
+        self.last_delta_timings = dict(_tm)
         return {
             "upsert": upsert,
             "additions": add.join(new_add_ids, "doc_id", "left_semi"),

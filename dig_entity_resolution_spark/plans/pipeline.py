@@ -95,6 +95,17 @@ class ERConfig:
     # and resumable mid-closure; the right setting on a real cluster where
     # executor loss would kill localCheckpoint'ed lineage
     durable_cc: bool = False
+    # scorer: "blend" (D2–D7 weighted feature blend, the default) or
+    # "fellegi_sunter" (operators/fellegi_sunter.py — EM-fitted log2
+    # Bayes-factor weights; score = match probability, thresholded by
+    # `threshold` like the blend score). With fellegi_sunter, `fs_model`
+    # optionally pins a fitted FSModel; when None the batch run EM-fits
+    # on its own candidate pairs and PINS the result on the pipeline
+    # (self.fs_model). run_incremental REQUIRES a pinned model — per-batch
+    # refits would score later pairs under a different model than earlier
+    # ones (the pinned-artifact discipline).
+    scorer: str = "blend"
+    fs_model: object | None = None
 
 
 class ERPipeline:
@@ -131,11 +142,19 @@ class ERPipeline:
             raise ValueError(
                 "sorted_neighborhood strategy requires non-empty sn_keys"
             )
+        if self.cfg.scorer not in ("blend", "fellegi_sunter"):
+            raise ValueError(
+                f"unknown scorer {self.cfg.scorer!r}; known: blend, "
+                "fellegi_sunter"
+            )
         self.ckpt = ParquetCheckpoint(spark, warehouse, run_id)
         self.computed_stages: list[str] = []
         # filled by the clusters stage: {"rounds": CC rounds executed,
         # "last_round": ...} — lets tests assert the warm-start round drop
         self.cc_stats: dict = {}
+        #: pinned Fellegi–Sunter model (cfg.fs_model, or the batch run's
+        #: own EM fit once _scored_pairs first runs)
+        self.fs_model = self.cfg.fs_model
 
     # -- stage functions -------------------------------------------------
     def _records(self, pages: DataFrame) -> DataFrame:
@@ -233,7 +252,52 @@ class ERPipeline:
             pairs = pairs.unionByName(sn).dropDuplicates(["id1", "id2"])
         return pairs
 
+    def _fs_model_path(self, run_id: str | None = None) -> str:
+        import os
+
+        return os.path.join(
+            self.ckpt.root, run_id or self.ckpt.run_id, "fs_model.json"
+        )
+
+    def _load_fs_model(self, run_id: str | None = None):
+        """Fitted-model artifact from a run's warehouse, or None. JSON
+        floats round-trip exactly (shortest-repr), so a reloaded model
+        emits bit-identical micro weights."""
+        import os
+
+        from ..operators.fellegi_sunter import FSModel
+
+        path = self._fs_model_path(run_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return FSModel.from_json(f.read())
+
     def _scored_pairs(self, pairs: DataFrame, records: DataFrame) -> DataFrame:
+        if self.cfg.scorer == "fellegi_sunter":
+            import os
+
+            from ..operators.fellegi_sunter import score_pairs_fs
+
+            if self.fs_model is None:
+                # resume case: a prior (possibly crashed) run of this
+                # run_id already fit and persisted the model
+                self.fs_model = self._load_fs_model()
+            scored, model = score_pairs_fs(
+                pairs, records, model=self.fs_model, threshold=self.cfg.threshold
+            )
+            # pin the (possibly just-fitted) model so every later scoring
+            # call of this pipeline — resume, incremental — uses the same
+            # weights, and persist it under THIS run_id whenever absent
+            # (fresh fit, or a model inherited from a base run / injected
+            # via config) so this warehouse is itself a chainable base
+            self.fs_model = model
+            path = self._fs_model_path()
+            if not os.path.exists(path):
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as f:
+                    f.write(model.to_json())
+            return scored
         return score_pairs(
             pairs,
             records,
@@ -465,6 +529,19 @@ class ERPipeline:
             )
         if mode not in ("append_only", "latest_wins"):
             raise ValueError(f"unknown run_incremental mode {mode!r}")
+        if self.cfg.scorer == "fellegi_sunter" and self.fs_model is None:
+            # the base run persisted its fit — chained ingestion recovers
+            # the pinned weights without manual re-injection
+            self.fs_model = self._load_fs_model(base_run_id)
+            if self.fs_model is None:
+                raise ValueError(
+                    "run_incremental with scorer='fellegi_sunter' requires "
+                    "a pinned fs_model: none was injected (ERConfig."
+                    "fs_model) and the base run's warehouse has no "
+                    "fs_model.json — refitting per batch would score this "
+                    "batch's pairs under different weights than the base "
+                    "corpus's"
+                )
         base = ParquetCheckpoint(self.spark, self.ckpt.root, base_run_id)
         ck = self.ckpt
         self.computed_stages = list(STAGES)

@@ -3714,6 +3714,135 @@ def q_blocking_quality(spark, sf_dir):
     )
 
 
+# -- Fellegi–Sunter probabilistic linkage (JASA 1969; EM per Winkler 1988;
+# -- r7) ---------------------------------------------------------------------
+
+_FS_INTER = "len(list_intersect(list_distinct(tk1), list_distinct(tk2)))"
+_FS_UNI = "len(list_distinct(list_concat(tk1, tk2)))"
+_FS_MX = "greatest(length(t1), length(t2), 1)"
+#: gamma levels as PURE-INTEGER cross-multiplied comparisons (jaccard >= 0.8
+#: <=> 5*inter >= 4*union) — must mirror fellegi_sunter.default_comparisons
+#: exactly; no float thresholds that could drift between engines
+_FS_GAMMA_SQL = f"""g AS (
+  SELECT id1, id2,
+         CASE WHEN t1 = t2 THEN 1 ELSE 0 END AS g_exact,
+         CASE WHEN 5 * {_FS_INTER} >= 4 * {_FS_UNI} THEN 2
+              WHEN 5 * {_FS_INTER} >= 2 * {_FS_UNI} THEN 1
+              ELSE 0 END AS g_jaccard,
+         CASE WHEN 10 * levenshtein(t1, t2) <= {_FS_MX} THEN 2
+              WHEN 10 * levenshtein(t1, t2) <= 3 * {_FS_MX} THEN 1
+              ELSE 0 END AS g_lev
+  FROM pair_text
+)"""
+
+
+def _fs_model():
+    """EM-fitted Fellegi–Sunter model — fit ONCE on the oracle fixture
+    (the _lm_artifact discipline: one artifact at every sf so the twin
+    stays scale-invariant). Pattern counts come from DuckDB over the
+    exact pair/gamma CTEs the oracle uses; EM is pure Python
+    (deterministic, operators/fellegi_sunter.py). None when the fixture
+    is unreadable (rows-only mode, audible)."""
+    import os
+
+    if not hasattr(_fs_model, "_cache"):
+        from .operators.fellegi_sunter import FSModel, em_fit
+
+        path = os.path.join(_IVF_ORACLE_DIR, "documents.parquet")
+        if not os.path.exists(path):
+            import warnings
+
+            warnings.warn(
+                f"FS oracle disabled: fixture {path} missing — "
+                "fellegi_sunter fits per-sf_dir and downgrades to "
+                "rows-only checking",
+                stacklevel=2,
+            )
+            _fs_model._cache = None
+            return None
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+            )
+            rows = con.execute(
+                f"WITH {SQL_PAIR_TEXT_CTE}, {_FS_GAMMA_SQL} "
+                "SELECT g_exact, g_jaccard, g_lev, count(*)::BIGINT AS n "
+                "FROM g GROUP BY ALL ORDER BY 1, 2, 3"
+            ).fetchall()
+        finally:
+            con.close()
+        lam, m, u = em_fit(
+            [(tuple(int(v) for v in r[:3]), int(r[3])) for r in rows],
+            [2, 3, 3],
+        )
+        _fs_model._cache = FSModel(
+            names=("exact", "jaccard", "lev"),
+            n_levels=(2, 3, 3),
+            lam=lam,
+            m=tuple(tuple(v) for v in m),
+            u=tuple(tuple(v) for v in u),
+        )
+    return _fs_model._cache
+
+
+def _fellegi_sunter_sql():
+    model = _fs_model()
+    if model is None:
+        return None
+    wm = model.weights_micro()
+
+    def case(col, ws):
+        branches = " ".join(f"WHEN {l} THEN {w}" for l, w in enumerate(ws))
+        return f"CASE {col} {branches} END"
+
+    return (
+        f"WITH {SQL_PAIR_TEXT_CTE}, {_FS_GAMMA_SQL}, "
+        "sc AS ("
+        "  SELECT id1, id2, g_exact, g_jaccard, g_lev,"
+        f"    ({model.prior_micro} + {case('g_exact', wm[0])}"
+        f"     + {case('g_jaccard', wm[1])} + {case('g_lev', wm[2])}"
+        ")::BIGINT AS match_weight_micro"
+        "  FROM g) "
+        "SELECT id1, id2, g_exact, g_jaccard, g_lev, match_weight_micro, "
+        "round(1.0 / (1.0 + power(2.0, -match_weight_micro / 1000000.0)), 6)"
+        "  AS match_probability FROM sc"
+    )
+
+
+@_q("fellegi_sunter", _fellegi_sunter_sql)
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi–Sunter match weights over the shared bigram-blocked pairs
+    (operators/fellegi_sunter.py): three comparisons (norm_text exact,
+    token-Jaccard band, Levenshtein band — integer cross-multiplied
+    thresholds), EM-fitted m/u frozen to integer-micro log2 Bayes-factor
+    weights inlined as literals in BOTH engines. Scoring is one native
+    Project (zero shuffle past pair hydration, zero Python); the weight
+    is an exact cross-engine BIGINT, the probability its monotone
+    sigmoid rounded to 6. DEFERRED tier (gate prefix full)."""
+    from .operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+    )
+
+    comps = default_comparisons()
+    model = _fs_model()
+    if model is None:
+        model = fit_fs_spark(_pairs_with_text(spark, sf_dir), comps)
+    return score_fs(_pairs_with_text(spark, sf_dir), comps, model).select(
+        "id1",
+        "id2",
+        "g_exact",
+        "g_jaccard",
+        "g_lev",
+        "match_weight_micro",
+        "match_probability",
+    )
+
+
 @_q("semdedup", None)
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
@@ -3869,6 +3998,7 @@ _DEFERRED_QUERIES = frozenset(
         "meta_blocking_cnp",
         "golden_record",
         "blocking_quality",
+        "fellegi_sunter",
     }
 )
 

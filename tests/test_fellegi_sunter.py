@@ -1,0 +1,228 @@
+"""Fellegi–Sunter EM linkage model (operators/fellegi_sunter.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dig_entity_resolution_spark.operators.fellegi_sunter import (
+    Comparison,
+    default_comparisons,
+    em_fit,
+    fit_fs_spark,
+    gamma_levels,
+    pattern_counts,
+    score_fs,
+)
+
+
+def _planted_counts():
+    """Two comparisons x 2/3 levels; 100 matches agreeing hard, 900
+    non-matches disagreeing hard, a little noise either side."""
+    return [
+        ((0, 0), 850),  # clean non-matches
+        ((0, 1), 40),
+        ((1, 0), 10),
+        ((1, 1), 15),  # noisy middle
+        ((1, 2), 85),  # clean matches (exact + high jaccard)
+        ((0, 2), 0),
+    ]
+
+
+def test_em_fit_recovers_planted_mixture():
+    lam, m, u = em_fit(_planted_counts(), [2, 3])
+    # ~10% of pairs are matches
+    assert 0.05 < lam < 0.2
+    # matches agree: P(level max | match) >> P(level max | non-match)
+    assert m[0][1] > 0.7 and u[0][1] < 0.1
+    assert m[1][2] > 0.6 and u[1][2] < 0.1
+    # weights are monotone in agreement level for the 3-level comparison
+    w = [math.log2(m[1][l] / u[1][l]) for l in range(3)]
+    assert w[0] < w[1] < w[2]
+
+
+def test_em_fit_deterministic_and_validates():
+    a = em_fit(_planted_counts(), [2, 3])
+    b = em_fit(_planted_counts(), [2, 3])
+    assert a == b  # bit-identical float64
+    with pytest.raises(ValueError, match="non-empty"):
+        em_fit([], [2, 2])
+    with pytest.raises(ValueError, match="level space"):
+        em_fit([((2, 0), 5)], [2, 3])
+    with pytest.raises(ValueError, match=">= 2 levels"):
+        em_fit([((0,), 5)], [1])
+    with pytest.raises(ValueError, match="iters"):
+        em_fit(_planted_counts(), [2, 3], iters=0)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = []
+    # 60 matching pairs: identical or near-identical text
+    for i in range(60):
+        t = f"alpha beta gamma delta {i}"
+        t2 = t if i % 2 == 0 else t + " x"
+        rows.append((2 * i, 2 * i + 1, t, t2, t.split(" "), t2.split(" ")))
+    # 540 non-matching pairs: disjoint token sets
+    for i in range(540):
+        a = f"red green blue {i}"
+        b = f"cyan magenta yellow {i + 1000} zz"
+        rows.append((9000 + 2 * i, 9001 + 2 * i, a, b, a.split(" "), b.split(" ")))
+    return spark.createDataFrame(
+        rows, "id1 long, id2 long, t1 string, t2 string, tk1 array<string>, tk2 array<string>"
+    )
+
+
+def test_fit_and_score_separate_planted_classes(spark, pairs):
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    assert 0.05 < model.lam < 0.25
+    scored = score_fs(pairs, comps, model).collect()
+    match_p = [r.match_probability for r in scored if r.id1 < 9000]
+    non_p = [r.match_probability for r in scored if r.id1 >= 9000]
+    assert min(match_p) > 0.9
+    assert max(non_p) < 0.1
+    # weight is the exact integer micro sum: prior + per-level weights
+    wm = model.weights_micro()
+    by_id = {r.id1: r for r in scored}
+    r = by_id[0]  # exact duplicate: all comparisons at max level
+    assert r.g_exact == 1 and r.g_jaccard == 2 and r.g_lev == 2
+    assert r.match_weight_micro == (
+        model.prior_micro + wm[0][1] + wm[1][2] + wm[2][2]
+    )
+
+
+def test_gamma_levels_integer_thresholds(spark):
+    df = spark.createDataFrame(
+        [
+            # jaccard exactly 0.8 (4 of 5) -> level 2 boundary inclusive
+            (1, 2, "a b c d", "a b c d e",
+             ["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]),
+            # jaccard exactly 0.4 (2 of 5) -> level 1 boundary inclusive
+            (3, 4, "a b x y", "a b z", ["a", "b", "x", "y"], ["a", "b", "z"]),
+            # disjoint -> level 0; lev band 0
+            (5, 6, "aaaa", "zzzz", ["aaaa"], ["zzzz"]),
+        ],
+        "id1 long, id2 long, t1 string, t2 string, tk1 array<string>, tk2 array<string>",
+    )
+    got = {
+        r.id1: (r.g_exact, r.g_jaccard, r.g_lev)
+        for r in gamma_levels(df, default_comparisons()).collect()
+    }
+    # lev=2 over maxlen 9: 20 <= 9 false, 20 <= 27 true -> band 1
+    assert got[1] == (0, 2, 1)
+    assert got[3][1] == 1
+    assert got[5] == (0, 0, 0)
+
+
+def test_pattern_counts_bounded_and_sorted(spark, pairs):
+    comps = default_comparisons()
+    counts = pattern_counts(gamma_levels(pairs, comps), comps)
+    assert len(counts) <= 2 * 3 * 3
+    assert counts == sorted(counts)
+    assert sum(n for _, n in counts) == pairs.count()
+
+
+def test_score_plan_native_no_extra_shuffle(spark, pairs):
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    plan = score_fs(pairs, comps, model)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_score_rejects_mismatched_model(spark, pairs):
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    with pytest.raises(ValueError, match="do not match"):
+        score_fs(pairs, comps[:2], model)
+    other = [Comparison("other", 2, F.lit(0))] + comps[1:]
+    with pytest.raises(ValueError, match="do not match"):
+        score_fs(pairs, other, model)
+
+
+# -- pipeline integration (ERConfig(scorer="fellegi_sunter")) ----------------
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from dig_entity_resolution_spark.synth import generate_corpus
+
+    d = tmp_path_factory.mktemp("fs_corpus")
+    return generate_corpus(
+        str(d), n_clusters=20, cluster_size=3, n_singletons=80, seed=7
+    )
+
+
+def test_pipeline_fs_scorer_e2e(spark, corpus, tmp_path):
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+
+    pages = spark.read.parquet(corpus["pages"])
+    pipe = ERPipeline(
+        spark, str(tmp_path / "wh"), "fs", ERConfig(scorer="fellegi_sunter")
+    )
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(corpus["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+    assert pipe.fs_model is not None  # the batch fit got pinned
+    # SCORED_PAIRS schema holds: blend features NULL, score = probability
+    sp = pipe.ckpt.read("scored_pairs")
+    assert sp.filter(F.col("jw").isNotNull()).count() == 0
+    lo = sp.filter(F.col("is_match")).agg(F.min("score").alias("m")).collect()[0]
+    assert lo.m >= pipe.cfg.threshold
+
+
+def test_pipeline_fs_incremental_pinned_model(spark, corpus, tmp_path):
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+
+    pages = spark.read.parquet(corpus["pages"])
+    wh = str(tmp_path / "wh")
+    split = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    batch_a, batch_b = pages.filter(split), pages.filter(~split)
+    base = ERPipeline(spark, wh, "fsbase", ERConfig(scorer="fellegi_sunter"))
+    base.run(batch_a)
+    model = base.fs_model
+    # an incremental over a base with NO persisted model refuses loudly
+    blend_base = ERPipeline(spark, wh, "blbase", ERConfig())
+    blend_base.run(batch_a)
+    bad = ERPipeline(spark, wh, "fsbad", ERConfig(scorer="fellegi_sunter"))
+    with pytest.raises(ValueError, match="pinned fs_model"):
+        bad.run_incremental(batch_b, base_run_id="blbase")
+    # ...but over an FS base it recovers the persisted weights on its own
+    incr = ERPipeline(spark, wh, "fsincr", ERConfig(scorer="fellegi_sunter"))
+    got = sorted(
+        (r.record_id, r.cluster_id)
+        for r in incr.run_incremental(batch_b, base_run_id="fsbase").collect()
+    )
+    # the recovered model is the base's fit, bit-exact through JSON
+    assert incr.fs_model.weights_micro() == model.weights_micro()
+    assert incr.fs_model.prior_micro == model.prior_micro
+    # and the incremental warehouse is itself a chainable FS base
+    import os
+
+    assert os.path.exists(incr._fs_model_path())
+    full = ERPipeline(
+        spark, wh, "fsfull",
+        ERConfig(scorer="fellegi_sunter", fs_model=model),
+    )
+    expect = sorted(
+        (r.record_id, r.cluster_id) for r in full.run(pages).collect()
+    )
+    assert got == expect
+
+
+def test_unknown_scorer_rejected(spark, tmp_path):
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+
+    with pytest.raises(ValueError, match="unknown scorer"):
+        ERPipeline(spark, str(tmp_path / "wh"), "x", ERConfig(scorer="typo"))
+
+
+def test_empty_pairs_fit_raises_score_empty(spark, pairs):
+    comps = default_comparisons()
+    empty = pairs.filter(F.lit(False))
+    with pytest.raises(ValueError, match="non-empty"):
+        fit_fs_spark(empty, comps)
+    model = fit_fs_spark(pairs, comps)
+    assert score_fs(empty, comps, model).count() == 0

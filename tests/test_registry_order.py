@@ -37,7 +37,7 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 68
+    assert len(oracle_backed) == 69
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
     # +dsir_resample_production, +curation_incremental (all rows-only);
     # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
@@ -49,10 +49,10 @@ def test_rows_only_queries_register_last():
     # code, stable since r1/r4) into the deferred tier.
     # r7: +audio_near_dup, +video_near_dup, +semdedup (rows-only);
     # +line_dedup, +url_filter, +chunk_shuffle, +meta_blocking_wep,
-    # +meta_blocking_cnp, +golden_record, +blocking_quality (hash-exact,
-    # deferred tier) → 83 = 50 gate + 9 deferred + 9 covered + 15
-    # rows-only
-    assert len(names) == 83
+    # +meta_blocking_cnp, +golden_record, +blocking_quality,
+    # +fellegi_sunter (hash-exact, deferred tier) → 84 = 50 gate + 10
+    # deferred + 9 covered + 15 rows-only
+    assert len(names) == 84
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
@@ -60,9 +60,9 @@ def test_rows_only_queries_register_last():
     assert Q._DEFERRED_QUERIES == {
         "tpch_q1_agg", "docs_cube", "line_dedup", "url_filter",
         "chunk_shuffle", "meta_blocking_wep", "meta_blocking_cnp",
-        "golden_record", "blocking_quality",
+        "golden_record", "blocking_quality", "fellegi_sunter",
     }
-    assert set(names[50:59]) == Q._DEFERRED_QUERIES
+    assert set(names[50:60]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root

@@ -211,6 +211,13 @@ CHECKS = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "fellegi_sunter": {
+        # r7 FS scoring: the weight/probability attach must be pure
+        # projection — no Python eval anywhere, no cartesian; the only
+        # joins are the pair-hydration equi-joins.
+        "must": ["Project"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "blocking_quality": {
         # r7 blocking-evaluation triple: truth/covered/candidate counts
         # are 1-row aggregates composed by broadcast nested-loop joins
