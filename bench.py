@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "golden_record",
     "blocking_quality",
     "fellegi_sunter",
+    "cluster_metrics",
 ]
 
 

@@ -3169,10 +3169,11 @@ def q_pack_chunk_stats(spark, sf_dir):
 _NDC_THRESHOLD = 0.5
 
 
-def _ndc_sql():
-    """Composes the minhash CTE with the recursive-CTE connected
-    components — the full near-dup removal product in one query."""
-    return f"""WITH RECURSIVE {_sql_minhash_cte()},
+def _ndc_lab_ctes():
+    """The minhash CTE + recursive-CTE connected components, up to
+    `lab(doc_id, dup_cluster_id)` — shared by near_dup_clusters and
+    cluster_metrics (which evaluates this labeling)."""
+    return f"""{_sql_minhash_cte()},
     {_sql_lsh_cand_cte()},
     scored AS (
       SELECT c.id1, c.id2
@@ -3197,7 +3198,13 @@ def _ndc_sql():
     lab AS (
       SELECT d.doc_id, coalesce(a.cid, d.doc_id) AS dup_cluster_id
       FROM documents d LEFT JOIN assign a USING (doc_id)
-    ),
+    )"""
+
+
+def _ndc_sql():
+    """Composes the minhash CTE with the recursive-CTE connected
+    components — the full near-dup removal product in one query."""
+    return f"""WITH RECURSIVE {_ndc_lab_ctes()},
     sizes AS (
       SELECT dup_cluster_id, count(*)::BIGINT AS cluster_size
       FROM lab GROUP BY dup_cluster_id
@@ -3714,6 +3721,99 @@ def q_blocking_quality(spark, sf_dir):
     )
 
 
+# -- Clustering-quality metrics: B-cubed + ARI (r7) --------------------------
+
+
+def _cluster_metrics_sql():
+    return f"""WITH RECURSIVE {_ndc_lab_ctes()},
+    truth AS (
+      SELECT record_id AS doc_id,
+             min(record_id) OVER (PARTITION BY norm_text) AS label_id
+      FROM records
+    ),
+    cells AS (
+      SELECT l.dup_cluster_id AS p, t.label_id AS t, count(*)::BIGINT AS nij
+      FROM lab l JOIN truth t USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ai AS (SELECT p, sum(nij)::BIGINT AS ai FROM cells GROUP BY p),
+    bj AS (SELECT t, sum(nij)::BIGINT AS bj FROM cells GROUP BY t),
+    sums AS (
+      SELECT sum(c.nij)::BIGINT AS n,
+             count(DISTINCT c.p)::BIGINT AS n_pred_clusters,
+             count(DISTINCT c.t)::BIGINT AS n_true_clusters,
+             sum(c.nij * c.nij / a.ai) AS sp,
+             sum(c.nij * c.nij / b.bj) AS sr,
+             sum((c.nij * (c.nij - 1) / 2)::BIGINT)::BIGINT AS sij
+      FROM cells c JOIN ai a USING (p) JOIN bj b USING (t)
+    ),
+    sz AS (
+      SELECT (SELECT sum((ai * (ai - 1) / 2)::BIGINT) FROM ai)::BIGINT AS sa,
+             (SELECT sum((bj * (bj - 1) / 2)::BIGINT) FROM bj)::BIGINT AS sb
+    )
+    SELECT n, n_pred_clusters, n_true_clusters,
+           round(sp / greatest(n, 1), 6) AS bcubed_p,
+           round(sr / greatest(n, 1), 6) AS bcubed_r,
+           round(2 * (sp / greatest(n, 1)) * (sr / greatest(n, 1))
+                 / greatest(sp / greatest(n, 1) + sr / greatest(n, 1), 1e-12),
+                 6) AS bcubed_f1,
+           round(CASE WHEN (sa::DOUBLE + sb) / 2.0
+                        - sa::DOUBLE * sb
+                          / greatest(n::DOUBLE * (n - 1) / 2.0, 1.0) = 0
+                      THEN 1.0
+                      ELSE (sij - sa::DOUBLE * sb
+                              / greatest(n::DOUBLE * (n - 1) / 2.0, 1.0))
+                           / ((sa::DOUBLE + sb) / 2.0
+                              - sa::DOUBLE * sb
+                                / greatest(n::DOUBLE * (n - 1) / 2.0, 1.0))
+                 END, 6) AS ari
+    FROM sums, sz"""
+
+
+@_q("cluster_metrics", _cluster_metrics_sql)
+def q_cluster_metrics(spark, sf_dir):
+    """Partition-level quality of the near-dup clustering
+    (operators/evaluate.py clustering_metrics): B-cubed P/R/F1 (Bagga &
+    Baldwin 1998) and Adjusted Rand Index (Hubert & Arabie 1985) of the
+    near_dup_clusters labeling against exact-content ground truth
+    (norm_text groups). The metric fold is contingency-cell-shaped (two
+    groupBys, BIGINT pair-count sums, one scalar row); the DuckDB twin
+    re-derives the clustering with the shared recursive-CTE chain.
+    DEFERRED tier."""
+    from .operators.cluster import connected_components
+    from .operators.dedup import minhash_lsh_dup_pairs
+    from .operators.evaluate import clustering_metrics
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    pairs = minhash_lsh_dup_pairs(
+        d,
+        "doc_id",
+        "text",
+        shingle_k=5,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        jaccard_threshold=_NDC_THRESHOLD,
+        hash_fn="md5",
+        max_bucket=1 << 40,
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    assign = connected_components(edges).withColumnRenamed("record_id", "doc_id")
+    pred = (
+        d.select("doc_id")
+        .join(assign, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    truth = _records(spark, sf_dir).select(
+        F.col("record_id").alias("doc_id"),
+        F.min("record_id")
+        .over(Window.partitionBy("norm_text"))
+        .alias("label_id"),
+    )
+    return clustering_metrics(pred, truth, id_col="doc_id")
+
+
 # -- Fellegi–Sunter probabilistic linkage (JASA 1969; EM per Winkler 1988;
 # -- r7) ---------------------------------------------------------------------
 
@@ -3999,6 +4099,7 @@ _DEFERRED_QUERIES = frozenset(
         "golden_record",
         "blocking_quality",
         "fellegi_sunter",
+        "cluster_metrics",
     }
 )
 

@@ -211,6 +211,12 @@ CHECKS = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "cluster_metrics": {
+        # r7 B-cubed/ARI: contingency-cell aggregation — hash aggregates
+        # and the 1-row broadcast folds; all native
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "fellegi_sunter": {
         # r7 FS scoring: the weight/probability attach must be pure
         # projection — no Python eval anywhere, no cartesian; the only
