@@ -57,6 +57,8 @@ __all__ = [
     "fit_fs_spark",
     "score_fs",
     "score_pairs_fs",
+    "decision_thresholds",
+    "classify_fs",
 ]
 
 
@@ -290,6 +292,87 @@ def score_fs(
             / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight_micro") / F.lit(1e6))),
             6,
         ),
+    )
+
+
+def decision_thresholds(
+    model: FSModel, mu: float = 0.001, lam: float = 0.001
+) -> tuple[int, int]:
+    """The optimal Fellegi–Sunter decision rule (Theorem 1 of the 1969
+    paper): enumerate the FULL gamma pattern space (prod(n_levels)
+    patterns — enumerable by construction), order by match weight, take
+    the largest prefix whose cumulative false-match mass Σ P(γ|U) stays
+    ≤ mu as auto-MATCH and the largest suffix whose cumulative
+    false-non-match mass Σ P(γ|M) stays ≤ lam as auto-NON-MATCH; the
+    patterns between the cutoffs are the clerical-review band.
+
+    Returns (upper_micro, lower_micro) thresholds on the SAME
+    match_weight_micro scale score_fs emits (prior included — a constant
+    shift on both sides of the ratio test): weight ≥ upper → match,
+    weight ≤ lower → non-match, else possible. Patterns sharing one
+    weight are admitted all-or-nothing (a threshold cannot split a tie).
+    When even the best pattern exceeds a budget the band is empty on
+    that side (upper = best+1 / lower = worst−1, unreachable). If
+    generous budgets make the bands cross, upper is clamped to
+    lower + 1 — the review band vanishes but match never undercuts
+    non-match. Driver-side and deterministic; cost O(pattern space)."""
+    import itertools
+
+    if not (0.0 < mu < 1.0 and 0.0 < lam < 1.0):
+        raise ValueError(f"mu and lam must be in (0, 1), got {mu}, {lam}")
+    pats = []
+    for g in itertools.product(*[range(n) for n in model.n_levels]):
+        pm = 1.0
+        pu = 1.0
+        w = model.prior_micro
+        for i, l in enumerate(g):
+            pm *= model.m[i][l]
+            pu *= model.u[i][l]
+            w += model.weight_micro(i, l)
+        pats.append((w, g, pm, pu))
+    pats.sort(key=lambda t: (-t[0], t[1]))
+    # group ties by weight (all-or-nothing admission)
+    groups: list[tuple[int, float, float]] = []
+    for w, _, pm, pu in pats:
+        if groups and groups[-1][0] == w:
+            pw, ppm, ppu = groups[-1]
+            groups[-1] = (pw, ppm + pm, ppu + pu)
+        else:
+            groups.append((w, pm, pu))
+    upper = groups[0][0] + 1  # unreachable until a group fits
+    acc = 0.0
+    for w, _, pu in groups:
+        if acc + pu > mu:
+            break
+        acc += pu
+        upper = w
+    lower = groups[-1][0] - 1
+    acc = 0.0
+    for w, pm, _ in reversed(groups):
+        if acc + pm > lam:
+            break
+        acc += pm
+        lower = w
+    if upper <= lower:
+        upper = lower + 1
+    return upper, lower
+
+
+def classify_fs(
+    scored: DataFrame, upper_micro: int, lower_micro: int
+) -> DataFrame:
+    """Attach the three-way FS decision to a score_fs output (native
+    CASE on the exact integer weight)."""
+    if upper_micro <= lower_micro:
+        raise ValueError(
+            f"upper_micro ({upper_micro}) must exceed lower_micro "
+            f"({lower_micro})"
+        )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("match_weight_micro") >= upper_micro, F.lit("match"))
+        .when(F.col("match_weight_micro") <= lower_micro, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
     )
 
 

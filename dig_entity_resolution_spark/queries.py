@@ -3888,11 +3888,20 @@ def _fs_model():
     return _fs_model._cache
 
 
+#: target error rates for the registry query's decision bands (FS 1969
+#: Theorem 1): false-match mass ≤ mu, false-non-match mass ≤ lam
+_FS_MU = 0.01
+_FS_LAM = 0.01
+
+
 def _fellegi_sunter_sql():
+    from .operators.fellegi_sunter import decision_thresholds
+
     model = _fs_model()
     if model is None:
         return None
     wm = model.weights_micro()
+    up, lo = decision_thresholds(model, mu=_FS_MU, lam=_FS_LAM)
 
     def case(col, ws):
         branches = " ".join(f"WHEN {l} THEN {w}" for l, w in enumerate(ws))
@@ -3908,7 +3917,10 @@ def _fellegi_sunter_sql():
         "  FROM g) "
         "SELECT id1, id2, g_exact, g_jaccard, g_lev, match_weight_micro, "
         "round(1.0 / (1.0 + power(2.0, -match_weight_micro / 1000000.0)), 6)"
-        "  AS match_probability FROM sc"
+        "  AS match_probability, "
+        f"CASE WHEN match_weight_micro >= {up} THEN 'match' "
+        f"     WHEN match_weight_micro <= {lo} THEN 'non_match' "
+        "      ELSE 'possible' END AS decision FROM sc"
     )
 
 
@@ -3921,8 +3933,13 @@ def q_fellegi_sunter(spark, sf_dir):
     weights inlined as literals in BOTH engines. Scoring is one native
     Project (zero shuffle past pair hydration, zero Python); the weight
     is an exact cross-engine BIGINT, the probability its monotone
-    sigmoid rounded to 6. DEFERRED tier (gate prefix full)."""
+    sigmoid rounded to 6, and `decision` the paper's optimal three-way
+    rule (match / possible / non-match at mu = lam = 0.01, thresholds
+    derived from the SAME model in both engines). DEFERRED tier (gate
+    prefix full)."""
     from .operators.fellegi_sunter import (
+        classify_fs,
+        decision_thresholds,
         default_comparisons,
         fit_fs_spark,
         score_fs,
@@ -3932,7 +3949,9 @@ def q_fellegi_sunter(spark, sf_dir):
     model = _fs_model()
     if model is None:
         model = fit_fs_spark(_pairs_with_text(spark, sf_dir), comps)
-    return score_fs(_pairs_with_text(spark, sf_dir), comps, model).select(
+    up, lo = decision_thresholds(model, mu=_FS_MU, lam=_FS_LAM)
+    scored = score_fs(_pairs_with_text(spark, sf_dir), comps, model)
+    return classify_fs(scored, up, lo).select(
         "id1",
         "id2",
         "g_exact",
@@ -3940,6 +3959,7 @@ def q_fellegi_sunter(spark, sf_dir):
         "g_lev",
         "match_weight_micro",
         "match_probability",
+        "decision",
     )
 
 

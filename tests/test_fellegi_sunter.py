@@ -141,6 +141,77 @@ def test_score_rejects_mismatched_model(spark, pairs):
         score_fs(pairs, other, model)
 
 
+# -- decision rule (FS 1969 Theorem 1) ---------------------------------------
+
+
+def _model1():
+    from dig_entity_resolution_spark.operators.fellegi_sunter import FSModel
+
+    return FSModel(
+        names=("c",), n_levels=(3,), lam=0.2,
+        m=((0.05, 0.15, 0.8),), u=((0.7, 0.25, 0.05),),
+    )
+
+
+def test_decision_thresholds_hand_computed():
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        decision_thresholds,
+    )
+
+    m = _model1()
+    w = m.weights_micro()[0]
+    top, mid, bot = (m.prior_micro + w[2], m.prior_micro + w[1],
+                     m.prior_micro + w[0])
+    # mu=0.06 admits the top pattern (P(g2|U)=0.05); lam=0.1 admits only
+    # the bottom (P(g0|M)=0.05; adding g1 would reach 0.20)
+    assert decision_thresholds(m, mu=0.06, lam=0.1) == (top, bot)
+    # tighter mu: even the best pattern exceeds the budget -> empty band
+    up, lo = decision_thresholds(m, mu=0.04, lam=0.1)
+    assert up == top + 1 and lo == bot
+    # generous lam admits the middle pattern too
+    assert decision_thresholds(m, mu=0.06, lam=0.25)[1] == mid
+    # crossing bands clamp to an empty review band, match above non-match
+    up, lo = decision_thresholds(m, mu=0.99, lam=0.99)
+    assert up == lo + 1
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        decision_thresholds(m, mu=0.0)
+
+
+def test_decision_thresholds_tied_patterns_all_or_nothing():
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        FSModel,
+        decision_thresholds,
+    )
+
+    m = FSModel(
+        names=("a", "b"), n_levels=(2, 2), lam=0.5,
+        m=((0.2, 0.8), (0.2, 0.8)), u=((0.8, 0.2), (0.8, 0.2)),
+    )
+    w = m.weights_micro()
+    w11 = m.prior_micro + w[0][1] + w[1][1]
+    # P((1,1)|U)=0.04 fits mu=0.2; the tied (0,1)/(1,0) group adds 0.32
+    # and must be admitted whole — half of it (0.16) would fit, but a
+    # weight threshold cannot split a tie
+    up, _ = decision_thresholds(m, mu=0.2, lam=0.01)
+    assert up == w11
+
+
+def test_classify_fs(spark):
+    from dig_entity_resolution_spark.operators.fellegi_sunter import classify_fs
+
+    df = spark.createDataFrame(
+        [(1, 5_000_000), (2, 0), (3, -5_000_000)],
+        "id long, match_weight_micro long",
+    )
+    got = {
+        r.id: r.decision
+        for r in classify_fs(df, 4_000_000, -4_000_000).collect()
+    }
+    assert got == {1: "match", 2: "possible", 3: "non_match"}
+    with pytest.raises(ValueError, match="must exceed"):
+        classify_fs(df, 0, 0)
+
+
 # -- pipeline integration (ERConfig(scorer="fellegi_sunter")) ----------------
 
 
