@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "golden_record",
     "blocking_quality",
     "fellegi_sunter",
+    "fellegi_sunter_tf",
     "cluster_metrics",
 ]
 

@@ -59,6 +59,7 @@ __all__ = [
     "score_pairs_fs",
     "decision_thresholds",
     "classify_fs",
+    "tf_adjust",
 ]
 
 
@@ -292,6 +293,58 @@ def score_fs(
             / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight_micro") / F.lit(1e6))),
             6,
         ),
+    )
+
+
+def tf_adjust(
+    scored: DataFrame,
+    records: DataFrame,
+    model: FSModel,
+    comparison: str = "exact",
+    value_col: str = "norm_text",
+    pair_value_col: str = "t1",
+) -> DataFrame:
+    """Winkler term-frequency adjustment (Winkler 1988; the 'TF
+    adjustments' Splink popularized): agreement on a RARE value is
+    stronger evidence than agreement on boilerplate. For pairs agreeing
+    at `comparison`'s top level, the model's generic u is replaced by
+    the value's own collision share u_v = f_v / N, shifting the match
+    weight by log2(u / u_v) = log2(u · N / f_v) — positive for rare
+    values, negative for values more common than the average collision.
+
+    `scored` is a score_fs output that still carries the hydrated pair
+    value column (`pair_value_col`); `records` is the corpus the
+    frequencies come from. Adds `value_freq` (N/A pairs: NULL),
+    `tf_adj_micro` (0 for non-agreeing pairs) and
+    `match_weight_tf_micro`.
+
+    Scale shape: one groupBy over the records for the frequency table,
+    one equi-join onto the agreeing pairs (AQE broadcasts a small freq
+    table; at web scale both sides shuffle on the value — the same key
+    the blocking already hashed). N is a single count job (a scalar,
+    not a collect). The adjustment stays a native expression."""
+    i = model.names.index(comparison)
+    top = model.n_levels[i] - 1
+    u_top = model.u[i][top]
+    g_col = f"g_{comparison}"
+    n = records.count()
+    freq = records.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("value_freq")
+    )
+    out = scored.join(
+        freq, scored[pair_value_col] == freq["_v"], "left"
+    ).drop("_v")
+    adj = F.when(
+        (F.col(g_col) == top) & F.col("value_freq").isNotNull(),
+        F.round(
+            F.lit(1000000.0)
+            * F.log2(F.lit(u_top) * F.lit(n) / F.col("value_freq"))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = out.withColumn("tf_adj_micro", adj)
+    return out.withColumn(
+        "match_weight_tf_micro",
+        F.col("match_weight_micro") + F.col("tf_adj_micro"),
     )
 
 

@@ -3963,6 +3963,76 @@ def q_fellegi_sunter(spark, sf_dir):
     )
 
 
+def _fellegi_sunter_tf_sql():
+    model = _fs_model()
+    if model is None:
+        return None
+    wm = model.weights_micro()
+    u_top = model.u[0][1]
+
+    def case(col, ws):
+        branches = " ".join(f"WHEN {l} THEN {w}" for l, w in enumerate(ws))
+        return f"CASE {col} {branches} END"
+
+    return (
+        f"WITH {SQL_PAIR_TEXT_CTE}, {_FS_GAMMA_SQL}, "
+        "sc AS ("
+        "  SELECT g.id1, g.id2, g.g_exact, p.t1,"
+        f"    ({model.prior_micro} + {case('g.g_exact', wm[0])}"
+        f"     + {case('g.g_jaccard', wm[1])} + {case('g.g_lev', wm[2])}"
+        ")::BIGINT AS match_weight_micro"
+        "  FROM g JOIN pair_text p ON p.id1 = g.id1 AND p.id2 = g.id2), "
+        "freq AS ("
+        "  SELECT norm_text AS v, count(*)::BIGINT AS value_freq"
+        "  FROM records GROUP BY 1), "
+        "n0 AS (SELECT count(*)::BIGINT AS n FROM records) "
+        "SELECT s.id1, s.id2, s.g_exact, f.value_freq, "
+        "CASE WHEN s.g_exact = 1 AND f.value_freq IS NOT NULL "
+        f"     THEN round(1000000.0 * log2({u_top!r} * n0.n / f.value_freq))"
+        "::BIGINT ELSE 0 END AS tf_adj_micro, "
+        "s.match_weight_micro, "
+        "(s.match_weight_micro + (CASE WHEN s.g_exact = 1 AND f.value_freq "
+        f"IS NOT NULL THEN round(1000000.0 * log2({u_top!r} * n0.n / "
+        "f.value_freq))::BIGINT ELSE 0 END))::BIGINT "
+        "AS match_weight_tf_micro "
+        "FROM sc s LEFT JOIN freq f ON f.v = s.t1 CROSS JOIN n0"
+    )
+
+
+@_q("fellegi_sunter_tf", _fellegi_sunter_tf_sql)
+def q_fellegi_sunter_tf(spark, sf_dir):
+    """Winkler term-frequency adjustment over the FS-scored pairs
+    (operators/fellegi_sunter.py tf_adjust): for exact-agreeing pairs
+    the generic u is replaced by the agreed VALUE's own collision share
+    f_v/N, shifting the weight by log2(u·N/f_v) — rare-value agreement
+    gains weight, boilerplate loses it. Frequencies come from one
+    groupBy over the records; the adjustment is a native expression on
+    BIGINT/scalar inputs (identical literal u and N in both engines).
+    DEFERRED tier."""
+    from .operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+        tf_adjust,
+    )
+
+    comps = default_comparisons()
+    model = _fs_model()
+    if model is None:
+        model = fit_fs_spark(_pairs_with_text(spark, sf_dir), comps)
+    scored = score_fs(_pairs_with_text(spark, sf_dir), comps, model)
+    out = tf_adjust(scored, _records(spark, sf_dir), model)
+    return out.select(
+        "id1",
+        "id2",
+        "g_exact",
+        "value_freq",
+        "tf_adj_micro",
+        "match_weight_micro",
+        "match_weight_tf_micro",
+    )
+
+
 @_q("semdedup", None)
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
@@ -4119,6 +4189,7 @@ _DEFERRED_QUERIES = frozenset(
         "golden_record",
         "blocking_quality",
         "fellegi_sunter",
+        "fellegi_sunter_tf",
         "cluster_metrics",
     }
 )

@@ -141,6 +141,79 @@ def test_score_rejects_mismatched_model(spark, pairs):
         score_fs(pairs, other, model)
 
 
+# -- term-frequency adjustment (Winkler 1988) --------------------------------
+
+
+def test_tf_adjust_rare_vs_common(spark, pairs):
+    import math
+
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+        tf_adjust,
+    )
+
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    scored = score_fs(pairs, comps, model)
+    # records: one rare value (the exact-dup pair at ids 0/1) and a
+    # boilerplate value repeated 50x
+    rows = [(0, "alpha beta gamma delta 0"), (1, "alpha beta gamma delta 0")]
+    rows += [(100 + i, "common boilerplate line") for i in range(50)]
+    recs = spark.createDataFrame(rows, "record_id long, norm_text string")
+    out = tf_adjust(scored, recs, model)
+    r = {x.id1: x for x in out.filter(F.col("g_exact") == 1).collect()}[0]
+    n = len(rows)
+    u_top = model.u[0][1]
+    expect = round(1e6 * math.log2(u_top * n / 2))
+    assert r.value_freq == 2
+    assert abs(r.tf_adj_micro - expect) <= 1  # rounding-mode slack
+    assert r.match_weight_tf_micro == r.match_weight_micro + r.tf_adj_micro
+    # non-agreeing pairs carry zero adjustment and an untouched weight
+    z = out.filter(F.col("g_exact") == 0).limit(1).collect()[0]
+    assert z.tf_adj_micro == 0
+    assert z.match_weight_tf_micro == z.match_weight_micro
+    # an agreeing pair whose value is absent from the frequency table:
+    # NULL freq, zero adjustment (the other exact pairs' texts are not
+    # in recs)
+    miss = (
+        out.filter((F.col("g_exact") == 1) & F.col("value_freq").isNull())
+        .limit(1)
+        .collect()
+    )
+    assert miss and miss[0].tf_adj_micro == 0
+
+
+def test_tf_adjust_monotone_in_frequency(spark, pairs):
+    import math
+
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+        tf_adjust,
+    )
+
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    scored = score_fs(pairs, comps, model)
+    # ONE frequency table with a rare and a common value: freq 1 vs 16
+    rows = [(0, "alpha beta gamma delta 0")]
+    rows += [(200 + i, "alpha beta gamma delta 4") for i in range(16)]
+    recs = spark.createDataFrame(rows, "record_id long, norm_text string")
+    got = {
+        r.id1: r.tf_adj_micro
+        for r in tf_adjust(scored, recs, model)
+        .filter(F.col("value_freq").isNotNull() & (F.col("g_exact") == 1))
+        .collect()
+    }
+    # pair (0,1) agreed on the rare value, pair (8,9) on the common one:
+    # 16x the frequency costs log2(16) = 4 weight units (float/rounding
+    # slack of a couple micro)
+    assert abs(got[0] - got[8] - round(1e6 * math.log2(16))) <= 2
+
+
 # -- decision rule (FS 1969 Theorem 1) ---------------------------------------
 
 

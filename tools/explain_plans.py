@@ -224,6 +224,12 @@ CHECKS = {
         "must": ["Project"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "fellegi_sunter_tf": {
+        # r7 TF adjustment: one extra equi-join onto the value-frequency
+        # table; still fully native
+        "must": ["Project", "HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "blocking_quality": {
         # r7 blocking-evaluation triple: truth/covered/candidate counts
         # are 1-row aggregates composed by broadcast nested-loop joins
