@@ -288,15 +288,23 @@ class ERPipeline:
             )
             # pin the (possibly just-fitted) model so every later scoring
             # call of this pipeline — resume, incremental — uses the same
-            # weights, and persist it under THIS run_id whenever absent
-            # (fresh fit, or a model inherited from a base run / injected
-            # via config) so this warehouse is itself a chainable base
+            # weights, and persist it under THIS run_id so this warehouse
+            # is itself a chainable base. Overwrite when the artifact
+            # differs from the model actually used (a rerun of this
+            # run_id with a different injected model must not leave a
+            # stale file for later chained runs to silently load —
+            # review find r7)
             self.fs_model = model
             path = self._fs_model_path()
-            if not os.path.exists(path):
+            blob = model.to_json()
+            current = None
+            if os.path.exists(path):
+                with open(path) as f:
+                    current = f.read()
+            if current != blob:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 with open(path, "w") as f:
-                    f.write(model.to_json())
+                    f.write(blob)
             return scored
         return score_pairs(
             pairs,
@@ -529,19 +537,34 @@ class ERPipeline:
             )
         if mode not in ("append_only", "latest_wins"):
             raise ValueError(f"unknown run_incremental mode {mode!r}")
-        if self.cfg.scorer == "fellegi_sunter" and self.fs_model is None:
-            # the base run persisted its fit — chained ingestion recovers
-            # the pinned weights without manual re-injection
-            self.fs_model = self._load_fs_model(base_run_id)
-            if self.fs_model is None:
+        # scorer consistency with the base run: fs_model.json doubles as
+        # the scorer marker (FS runs always persist it, blend runs never
+        # do). Mixing scorers would union incomparable score columns
+        # into one scored_pairs table and threshold them together —
+        # refuse loudly in BOTH directions (review find r7).
+        base_fs = self._load_fs_model(base_run_id)
+        if self.cfg.scorer == "fellegi_sunter":
+            if base_fs is None:
                 raise ValueError(
-                    "run_incremental with scorer='fellegi_sunter' requires "
-                    "a pinned fs_model: none was injected (ERConfig."
-                    "fs_model) and the base run's warehouse has no "
-                    "fs_model.json — refitting per batch would score this "
-                    "batch's pairs under different weights than the base "
-                    "corpus's"
+                    "run_incremental with scorer='fellegi_sunter' over a "
+                    f"base ({base_run_id!r}) whose warehouse has no "
+                    "fs_model.json — the base's scored_pairs were not "
+                    "FS-scored (or pre-date model persistence); scoring "
+                    "this batch with FS would mix incompatible score "
+                    "models in one table"
                 )
+            if self.fs_model is None:
+                # chained ingestion recovers the pinned weights without
+                # manual re-injection
+                self.fs_model = base_fs
+        elif base_fs is not None:
+            raise ValueError(
+                f"base run {base_run_id!r} was scored with "
+                "fellegi_sunter (its warehouse persists fs_model.json) "
+                "but this pipeline uses scorer="
+                f"{self.cfg.scorer!r} — set scorer='fellegi_sunter' (the "
+                "pinned model loads automatically)"
+            )
         base = ParquetCheckpoint(self.spark, self.ckpt.root, base_run_id)
         ck = self.ckpt
         self.computed_stages = list(STAGES)

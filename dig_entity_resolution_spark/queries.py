@@ -3991,9 +3991,10 @@ def _fellegi_sunter_tf_sql():
         f"     THEN round(1000000.0 * log2({u_top!r} * n0.n / f.value_freq))"
         "::BIGINT ELSE 0 END AS tf_adj_micro, "
         "s.match_weight_micro, "
-        "(s.match_weight_micro + (CASE WHEN s.g_exact = 1 AND f.value_freq "
-        f"IS NOT NULL THEN round(1000000.0 * log2({u_top!r} * n0.n / "
-        "f.value_freq))::BIGINT ELSE 0 END))::BIGINT "
+        # lateral alias reuse keeps the adjustment defined ONCE — the
+        # same shape as the Spark twin (tf_adjust sums the computed
+        # tf_adj_micro column)
+        "(s.match_weight_micro + tf_adj_micro)::BIGINT "
         "AS match_weight_tf_micro "
         "FROM sc s LEFT JOIN freq f ON f.v = s.t1 CROSS JOIN n0"
     )

@@ -327,12 +327,23 @@ def test_pipeline_fs_incremental_pinned_model(spark, corpus, tmp_path):
     base = ERPipeline(spark, wh, "fsbase", ERConfig(scorer="fellegi_sunter"))
     base.run(batch_a)
     model = base.fs_model
-    # an incremental over a base with NO persisted model refuses loudly
+    # FS incremental over a blend base refuses loudly...
     blend_base = ERPipeline(spark, wh, "blbase", ERConfig())
     blend_base.run(batch_a)
     bad = ERPipeline(spark, wh, "fsbad", ERConfig(scorer="fellegi_sunter"))
-    with pytest.raises(ValueError, match="pinned fs_model"):
+    with pytest.raises(ValueError, match="no fs_model.json"):
         bad.run_incremental(batch_b, base_run_id="blbase")
+    # ...even with an injected model (the base's scores are blend scores)
+    bad2 = ERPipeline(
+        spark, wh, "fsbad2",
+        ERConfig(scorer="fellegi_sunter", fs_model=model),
+    )
+    with pytest.raises(ValueError, match="no fs_model.json"):
+        bad2.run_incremental(batch_b, base_run_id="blbase")
+    # ...and a blend incremental over an FS base refuses in reverse
+    bad3 = ERPipeline(spark, wh, "blbad", ERConfig())
+    with pytest.raises(ValueError, match="scored with\n?\\s*fellegi_sunter"):
+        bad3.run_incremental(batch_b, base_run_id="fsbase")
     # ...but over an FS base it recovers the persisted weights on its own
     incr = ERPipeline(spark, wh, "fsincr", ERConfig(scorer="fellegi_sunter"))
     got = sorted(
@@ -346,6 +357,16 @@ def test_pipeline_fs_incremental_pinned_model(spark, corpus, tmp_path):
     import os
 
     assert os.path.exists(incr._fs_model_path())
+    # rerunning a run_id with a DIFFERENT injected model must overwrite
+    # the persisted artifact, not leave the stale fit for chained runs
+    import dataclasses
+
+    m2 = dataclasses.replace(model, lam=0.33)
+    rerun = ERPipeline(
+        spark, wh, "fsbase", ERConfig(scorer="fellegi_sunter", fs_model=m2)
+    )
+    rerun.run(batch_a)
+    assert rerun._load_fs_model().lam == 0.33
     full = ERPipeline(
         spark, wh, "fsfull",
         ERConfig(scorer="fellegi_sunter", fs_model=model),
