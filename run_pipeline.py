@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         help="SN bucket prefix length — size to the corpus (see "
         "sorted_neighborhood_pairs docstring)",
     )
+    p.add_argument(
+        "--scorer", default="blend", choices=("blend", "fellegi_sunter"),
+        help="pair scorer: the weighted feature blend (default) or the "
+        "EM-fitted Fellegi-Sunter model (operators/fellegi_sunter.py; "
+        "the fitted model persists as fs_model.json in the warehouse — "
+        "incremental runs recover the base run's pinned weights "
+        "automatically)",
+    )
     args = p.parse_args(argv)
 
     spark = build_session(app_name=f"er-pipeline-{args.run_id}")
@@ -92,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         use_extractor=args.use_extractor,
         id_bits=args.id_bits,
         check_id_collisions=args.check_id_collisions,
+        scorer=args.scorer,
     )
     pipe = ERPipeline(spark, args.warehouse, args.run_id, cfg)
     pages = spark.read.parquet(args.input)
