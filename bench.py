@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "fellegi_sunter",
     "fellegi_sunter_tf",
     "cluster_metrics",
+    "bpe_decode_roundtrip",
 ]
 
 

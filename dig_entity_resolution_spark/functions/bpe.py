@@ -380,6 +380,35 @@ def decode_bpe_ids(ids: list[int], vocab: list[str]) -> str:
     return "".join(out)
 
 
+def bpe_decode_ids_col(ids: "Column | str", vocab: list[str]) -> Column:
+    """Native ids → text (the DISTRIBUTED twin of decode_bpe_ids):
+    vocab[id] per element, concatenated — SEP_ID's vocab entry IS the
+    single space, so an UNK-free stream decodes back to the
+    single-space-normalized text. UNK (-1) and out-of-range ids raise
+    loudly in-plan (the decode_bpe_ids ValueError contract). Pure
+    expression: a vocab array literal + one transform, zero shuffle,
+    zero Python."""
+    arr = F.array(*[F.lit(t) for t in vocab])
+    n = len(vocab)
+    col = ids if isinstance(ids, Column) else F.col(ids)
+    return F.concat_ws(
+        "",
+        F.transform(
+            col,
+            lambda i: F.when(
+                (i >= 0) & (i < n), F.element_at(arr, i + 1)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bpe_decode: id outside vocab (UNK is not "
+                        "invertible)"
+                    )
+                ).cast("string")
+            ),
+        ),
+    )
+
+
 def bpe_vocab_map_literal(vocab: list[str]) -> Column:
     """map<string,int> literal of the vocab (token → id)."""
     if not vocab:

@@ -1238,6 +1238,53 @@ def q_bpe_encode_ids(spark, sf_dir):
     )
 
 
+def _bpe_decode_sql():
+    ctes = _bpe_ids_ctes()
+    if ctes is None:
+        return None
+    _, vocab = _bpe_artifacts()
+    toks = ", ".join("'" + t.replace("'", "''") + "'" for t in vocab)
+    expected = (
+        "array_to_string(list_filter(string_split(d.text, ' '), "
+        "w -> w <> ''), ' ')"
+    )
+    return f"""WITH RECURSIVE {ctes}
+    SELECT d.doc_id AS record_id,
+           coalesce(array_to_string(list_transform(e.token_ids,
+             i -> [{toks}][i + 1]), ''), '') AS decoded,
+           (coalesce(array_to_string(list_transform(e.token_ids,
+             i -> [{toks}][i + 1]), ''), '') = {expected}) AS roundtrip_ok
+    FROM documents d LEFT JOIN docenc e USING (doc_id)"""
+
+
+@_q("bpe_decode_roundtrip", _bpe_decode_sql)
+def q_bpe_decode_roundtrip(spark, sf_dir):
+    """BPE ids → text decode (functions/bpe.bpe_decode_ids_col — the
+    distributed twin of the driver-side decode_bpe_ids): vocab-array
+    literal + one native transform per doc, concatenated. Emits the
+    decoded text and the exact roundtrip check against the
+    single-space-normalized source — decode(encode(text)) must
+    reconstruct it verbatim for the fixture-fitted (UNK-free) vocab.
+    DEFERRED tier."""
+    from .functions.bpe import bpe_decode_ids_col, bpe_encode_ids
+
+    merges, vocab = _bpe_artifacts_for(sf_dir)
+    d = _docs(spark, sf_dir)
+    enc = bpe_encode_ids(d, "doc_id", "text", merges, vocab)
+    expected = F.array_join(
+        F.filter(F.split("text", " "), lambda w: w != ""), " "
+    )
+    dec = bpe_decode_ids_col("token_ids", vocab)
+    return (
+        d.join(enc, "doc_id")
+        .select(
+            F.col("doc_id").alias("record_id"),
+            dec.alias("decoded"),
+            (dec == expected).alias("roundtrip_ok"),
+        )
+    )
+
+
 def _packed_chunk_ids_sql():
     ctes = _bpe_ids_ctes()
     if ctes is None:
@@ -4192,6 +4239,7 @@ _DEFERRED_QUERIES = frozenset(
         "fellegi_sunter",
         "fellegi_sunter_tf",
         "cluster_metrics",
+        "bpe_decode_roundtrip",
     }
 )
 

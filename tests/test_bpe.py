@@ -333,3 +333,53 @@ def test_encode_ids_unknown_char_maps_to_unk(spark):
     assert exp.count(UNK_ID) == 2  # 'z' and 'q' unseen at fit time
     with pytest.raises(ValueError, match="UNK"):
         decode_bpe_ids(exp, vocab)
+
+
+def test_native_decode_matches_python_and_raises_on_unk(spark):
+    """bpe_decode_ids_col (distributed) ≡ decode_bpe_ids (driver), and
+    the UNK/out-of-range contract raises in-plan too."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dig_entity_resolution_spark.functions.bpe import (
+        bpe_decode_ids_col,
+        bpe_encode_ids,
+        build_vocab,
+        decode_bpe_ids,
+        encode_bpe_text,
+    )
+
+    rng = random.Random(11)
+    words = ["kappa", "lambda", "mu", "nu"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        for _ in range(12)
+    ] + ["", "kappa  mu"]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = fit_bpe_merges(freqs, n_merges=10)
+    vocab = build_vocab(merges, {c for w in freqs for c in w})
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    enc = bpe_encode_ids(df, "doc_id", "text", merges, vocab)
+    got = {
+        r.doc_id: r.decoded
+        for r in enc.select(
+            "doc_id", bpe_decode_ids_col("token_ids", vocab).alias("decoded")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == decode_bpe_ids(encode_bpe_text(t, merges, vocab), vocab)
+    # UNK raises in-plan, same contract as the driver decode
+    bad = spark.createDataFrame([(1, [0, -1])], "doc_id long, token_ids array<int>")
+    with pytest.raises(Exception, match="UNK is not"):
+        bad.select(bpe_decode_ids_col("token_ids", vocab)).collect()
+    # out-of-range id raises too
+    bad2 = spark.createDataFrame(
+        [(1, [len(vocab)])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="UNK is not"):
+        bad2.select(bpe_decode_ids_col("token_ids", vocab)).collect()

@@ -211,6 +211,12 @@ CHECKS = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "bpe_decode_roundtrip": {
+        # r7 ids→text decode: vocab-array literal + one transform per
+        # doc — native end-to-end, no Python
+        "must": ["Project"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "cluster_metrics": {
         # r7 B-cubed/ARI: contingency-cell aggregation — hash aggregates
         # and the 1-row broadcast folds; all native
