@@ -598,6 +598,19 @@ def main() -> None:
             }
             for w in windows
         ]
+    # Fellegi–Sunter scorer on the SAME hydrated pair table (late r7):
+    # all-native gamma + micro-weight CASEs inside whole-stage codegen —
+    # no Python workers — vs the blend path's Arrow JW kernel. One
+    # pinned local[32] sample; not part of the binding scaling metric.
+    rfs = _scale_worker("measure_fs", "32", hydrated, "2", pin_cpus=32)
+    result["er_fs"] = {
+        "pairs_per_sec_32": rfs["pairs_per_sec"],
+        "scoring_sec_32": rfs["sec"],
+        "fit_sec": rfs["fit_sec"],
+        "vs_blend": round(
+            rfs["pairs_per_sec"] / max(er.get("pairs_per_sec_32", 1), 1), 2
+        ),
+    }
     result["er"] = er
     result["value"] = round(time.time() - t_total0, 3)
     _emit(result)
@@ -634,7 +647,7 @@ def _summary_line(result: dict) -> str:
         )
         if k in er
     }
-    for section in ("incr_near_dup", "curation", "incr_curation"):
+    for section in ("er_fs", "incr_near_dup", "curation", "incr_curation"):
         if section in result:
             s[section] = result[section]
     qs = result.get("queries", {})
@@ -643,8 +656,8 @@ def _summary_line(result: dict) -> str:
     # shrink until it fits: slowest-queries count first, then whole
     # sections (never the er headline — that's the binding metric)
     ranked = sorted(qs.items(), key=lambda kv: -kv[1])
-    for drop_sections in range(4):
-        for sec in ("incr_near_dup", "curation", "incr_curation")[
+    for drop_sections in range(5):
+        for sec in ("er_fs", "incr_near_dup", "curation", "incr_curation")[
             : drop_sections
         ]:
             s.pop(sec, None)

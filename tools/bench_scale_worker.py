@@ -167,9 +167,68 @@ def measure(cpus: int, hydrated_dir: str, reps: int = 2) -> None:
     spark.stop()
 
 
+def measure_fs(cpus: int, hydrated_dir: str, reps: int = 2) -> None:
+    """Same workload scored by the Fellegi–Sunter path
+    (operators/fellegi_sunter.py): gamma levels + integer-micro weight
+    CASEs — ALL inside whole-stage codegen, no Python workers at all
+    (the blend path pays the Arrow JW kernel). The model is EM-fit once
+    on the table's own pattern histogram (fit wall reported separately;
+    it is a bounded 18-row collect)."""
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+    )
+    from dig_entity_resolution_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"er-fs-scale-{cpus}",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
+    df = spark.read.parquet(hydrated_dir)
+    comps = default_comparisons(
+        t1="text1", t2="text2", tk1="tokens1", tk2="tokens2"
+    )
+    t0 = time.time()
+    model = fit_fs_spark(df, comps)
+    fit_sec = time.time() - t0
+    scored = score_fs(df, comps, model).select(
+        "id1", "id2", "match_weight_micro", "match_probability"
+    )
+    scored.limit(50_000).write.format("noop").mode("overwrite").save()
+    n = df.count()
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        scored.write.format("noop").mode("overwrite").save()
+        dt = min(dt, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "sec": round(dt, 2),
+                "pairs_per_sec": round(n / dt, 1),
+                "fit_sec": round(fit_sec, 2),
+                "n": n,
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "prep":
         prep(sys.argv[2], sys.argv[3])
+    elif sys.argv[1] == "measure_fs":
+        measure_fs(
+            int(sys.argv[2]),
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
     else:
         measure(
             int(sys.argv[2]),
