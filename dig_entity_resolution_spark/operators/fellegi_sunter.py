@@ -263,12 +263,22 @@ def fit_fs_spark(
 
 
 def score_fs(
-    pairs: DataFrame, comparisons: Sequence[Comparison], model: FSModel
+    pairs: DataFrame,
+    comparisons: Sequence[Comparison],
+    model: FSModel,
+    explain: bool = False,
 ) -> DataFrame:
     """Attach gamma levels, the integer-micro match weight, and the
     match probability. One native Project — the weight CASEs fold into
     whole-stage codegen; probability = 1/(1 + 2^(-w/1e6)) rounded to 6
-    (the registry's R6 discipline)."""
+    (the registry's R6 discipline).
+
+    `explain=True` additionally emits one `w_<name>_micro` column per
+    comparison (its exact weight contribution; the prior is the
+    remaining summand) — the per-pair evidence breakdown a reviewer
+    reads to see WHY a pair matched (the Splink waterfall-chart data).
+    Still literals-only: the explain columns are the same CASEs the sum
+    folds, so the cost is one extra projection column each."""
     if tuple(c.name for c in comparisons) != model.names or (
         tuple(c.n_levels for c in comparisons) != model.n_levels
     ):
@@ -284,6 +294,9 @@ def score_fs(
             expr = F.when(
                 F.col(c.col) == l, F.lit(model.weight_micro(i, l)).cast("long")
             ).otherwise(expr)
+        if explain:
+            out = out.withColumn(f"w_{c.name}_micro", expr)
+            expr = F.col(f"w_{c.name}_micro")
         w = w + expr
     out = out.withColumn("match_weight_micro", w)
     return out.withColumn(

@@ -141,6 +141,31 @@ def test_score_rejects_mismatched_model(spark, pairs):
         score_fs(pairs, other, model)
 
 
+def test_score_fs_explain_breakdown(spark, pairs):
+    from dig_entity_resolution_spark.operators.fellegi_sunter import (
+        default_comparisons,
+        fit_fs_spark,
+        score_fs,
+    )
+
+    comps = default_comparisons()
+    model = fit_fs_spark(pairs, comps)
+    rows = score_fs(pairs, comps, model, explain=True).collect()
+    wm = model.weights_micro()
+    for r in rows[:50]:
+        assert r.w_exact_micro == wm[0][r.g_exact]
+        assert r.w_jaccard_micro == wm[1][r.g_jaccard]
+        assert r.w_lev_micro == wm[2][r.g_lev]
+        # the breakdown sums exactly to the total (prior = remainder)
+        assert (
+            model.prior_micro
+            + r.w_exact_micro
+            + r.w_jaccard_micro
+            + r.w_lev_micro
+            == r.match_weight_micro
+        )
+
+
 # -- term-frequency adjustment (Winkler 1988) --------------------------------
 
 
