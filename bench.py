@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "fellegi_sunter_tf",
     "cluster_metrics",
     "bpe_decode_roundtrip",
+    "one_to_one_match",
 ]
 
 

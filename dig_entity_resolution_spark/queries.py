@@ -4161,6 +4161,83 @@ def q_curation_incremental(spark, sf_dir):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# -- One-to-one record linkage (greedy assignment; r7) ------------------------
+
+#: rounds of locally-dominant selection the registry query runs on BOTH
+#: engines. "Exactly K rounds" is a deterministic function, so the
+#: cross-engine contract holds whether or not the fixpoint is inside K;
+#: measured fixpoint is 10 rounds at sf0.001 and 12 at sf0.01 (the
+#: decreasing-weight chain effect — see the operator docstring), so 14
+#: gives headroom and the query IS the full greedy matching on both
+#: fixtures (tests/test_assignment.py pins convergence within K at
+#: sf0.001; a drifted future corpus degrades to the still-deterministic
+#: K-round prefix, never to a gate mismatch).
+_O2O_ROUNDS = 14
+
+
+def _o2o_rounds_sql(k: int) -> str:
+    """Unrolled K-round locally-dominant selection over `r0` (id1,id2,w)
+    — the SQL twin of operators/assignment.one_to_one_match(rounds=k).
+
+    Plain chained CTEs, no recursion needed (standard SQL forbids the
+    aggregates/windows each round requires inside a recursive term).
+    Every round CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and each round references its predecessor several times —
+    unmaterialized, the K-round chain re-expands r0 exponentially (the
+    first run died on fd exhaustion re-opening the parquet):
+    round i ranks each record's incident pairs under the total order
+    (w DESC, id1 ASC, id2 ASC) via one row_number window over the
+    symmetrized pair table; a pair ranked first by BOTH endpoints
+    (count = 2) is locally dominant; its records leave the pool."""
+    parts = []
+    for i in range(k):
+        parts.append(
+            f"""
+b{i} AS MATERIALIZED (SELECT id1, id2 FROM (
+           SELECT id1, id2,
+                  row_number() OVER (PARTITION BY u
+                                     ORDER BY w DESC, id1, id2) AS rn
+           FROM (SELECT id1 AS u, id1, id2, w FROM r{i}
+                 UNION ALL SELECT id2 AS u, id1, id2, w FROM r{i}))
+         WHERE rn = 1),
+d{i} AS MATERIALIZED (SELECT r.id1, r.id2, r.w FROM r{i} r
+         JOIN (SELECT id1, id2 FROM b{i}
+               GROUP BY id1, id2 HAVING count(*) = 2) t USING (id1, id2)),
+m{i} AS MATERIALIZED (SELECT id1 AS n FROM d{i}
+                      UNION ALL SELECT id2 AS n FROM d{i}),
+r{i + 1} AS MATERIALIZED (SELECT r.id1, r.id2, r.w FROM r{i} r
+             LEFT JOIN m{i} ma ON r.id1 = ma.n
+             LEFT JOIN m{i} mb ON r.id2 = mb.n
+             WHERE ma.n IS NULL AND mb.n IS NULL)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(k))
+    return ",".join(parts) + f"\nSELECT id1, id2, w FROM ({union})"
+
+
+@_q(
+    "one_to_one_match",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE}, {_MB_EDGES_CTE},"
+    "r0 AS MATERIALIZED (SELECT id1, id2, w FROM mb_edges WHERE (id1 % 2) <> (id2 % 2)),"
+    + _o2o_rounds_sql(_O2O_ROUNDS),
+)
+def q_one_to_one_match(spark, sf_dir):
+    """Two-source one-to-one record linkage (Christen 2012 ch. 6): even
+    record_ids play source A, odd play source B; candidate pairs are the
+    cross-source CBS-weighted blocking-graph edges (shared-bigram count,
+    integer — exact on both engines); the match is the greedy
+    weight-descending assignment computed via iterated locally-dominant
+    selection (operators/assignment.py), exactly _O2O_ROUNDS rounds to
+    mirror the unrolled SQL twin. Each record appears in at most one
+    output pair. DEFERRED tier — the 50-row gate is full."""
+    from .operators.assignment import one_to_one_match
+    from .operators.meta_blocking import blocking_graph
+
+    edges = blocking_graph(_bigram_blocked(spark, sf_dir), "cbs").filter(
+        (F.col("id1") % 2) != (F.col("id2") % 2)
+    )
+    return one_to_one_match(edges, rounds=_O2O_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4240,6 +4317,7 @@ _DEFERRED_QUERIES = frozenset(
         "fellegi_sunter_tf",
         "cluster_metrics",
         "bpe_decode_roundtrip",
+        "one_to_one_match",
     }
 )
 
