@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "cluster_metrics",
     "bpe_decode_roundtrip",
     "one_to_one_match",
+    "canopy_blocking",
 ]
 
 

@@ -4238,6 +4238,94 @@ def q_one_to_one_match(spark, sf_dir):
     return one_to_one_match(edges, rounds=_O2O_ROUNDS)
 
 
+# -- Canopy clustering (McCallum/Nigam/Ungar KDD 2000; r7) --------------------
+
+#: MIS selection rounds the registry query runs on both engines; the
+#: fixture fixpoint is 3 rounds at sf0.001 and 4 at sf0.01 (measured),
+#: so 8 is generous — and, as with one_to_one_match, "exactly K rounds"
+#: stays deterministic cross-engine even if a future corpus needs more.
+_CANOPY_ROUNDS = 8
+_CANOPY_W_LOOSE = 1  # canopy-join bar: any shared bigram
+_CANOPY_W_TIGHT = 2  # delete bar: >= 2 shared bigrams (the CC edge bar)
+
+
+def _canopy_rounds_sql(k: int) -> str:
+    """Unrolled K-round lexicographic-MIS selection over the tight graph
+    `te` starting from point set `p0`, then the closed-form membership —
+    the SQL twin of operators/canopy.canopy_clusters(rounds=k). Round
+    CTEs are AS MATERIALIZED for the same reason as _o2o_rounds_sql."""
+    parts = []
+    for i in range(k):
+        parts.append(
+            f"""
+c{i} AS MATERIALIZED (
+  SELECT p.n FROM p{i} p
+  LEFT JOIN (SELECT DISTINCT t.b AS n
+             FROM te t JOIN p{i} pa ON pa.n = t.a
+                       JOIN p{i} pb ON pb.n = t.b
+             WHERE t.a < t.b) blk ON blk.n = p.n
+  WHERE blk.n IS NULL),
+p{i + 1} AS MATERIALIZED (
+  SELECT p.n FROM p{i} p
+  LEFT JOIN c{i} c ON c.n = p.n
+  LEFT JOIN (SELECT DISTINCT t.b AS n
+             FROM te t JOIN c{i} cc ON cc.n = t.a) del ON del.n = p.n
+  WHERE c.n IS NULL AND del.n IS NULL)"""
+        )
+    union = " UNION ALL ".join(f"SELECT n FROM c{i}" for i in range(k))
+    return (
+        ",".join(parts)
+        + f""",
+cans AS MATERIALIZED ({union}),
+tmin AS MATERIALIZED (
+  SELECT n, min(tc) AS tc FROM (
+    SELECT t.b AS n, t.a AS tc FROM te t JOIN cans s ON s.n = t.a
+    UNION ALL SELECT n, n AS tc FROM cans) GROUP BY n)
+SELECT l.a AS center_id, l.b AS record_id
+FROM le l JOIN cans s ON s.n = l.a
+LEFT JOIN tmin m ON m.n = l.b
+WHERE m.tc IS NULL OR l.a <= m.tc
+UNION ALL SELECT n AS center_id, n AS record_id FROM cans"""
+    )
+
+
+@_q(
+    "canopy_blocking",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE}, {_MB_EDGES_CTE},"
+    f"""
+te AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM mb_edges WHERE w >= {_CANOPY_W_TIGHT}
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM mb_edges WHERE w >= {_CANOPY_W_TIGHT}),
+le AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM mb_edges WHERE w >= {_CANOPY_W_LOOSE}
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM mb_edges WHERE w >= {_CANOPY_W_LOOSE}),
+p0 AS MATERIALIZED (SELECT record_id AS n FROM records),"""
+    + _canopy_rounds_sql(_CANOPY_ROUNDS),
+)
+def q_canopy_blocking(spark, sf_dir):
+    """Canopy clustering as blocking (operators/canopy.py): CBS
+    shared-bigram counts as the cheap similarity, loose bar = 1 shared
+    bigram (canopy join), tight bar = 2 (delete — the CC edge bar), pick
+    order ascending record_id. Emits (center_id, record_id) overlapping
+    canopy membership; exactly _CANOPY_ROUNDS MIS rounds to mirror the
+    unrolled SQL twin (fixpoint is 3–4 rounds on the fixtures, pinned by
+    tests/test_canopy.py). DEFERRED tier — the 50-row gate is full."""
+    from .operators.canopy import canopy_clusters
+    from .operators.meta_blocking import blocking_graph
+
+    sims = blocking_graph(_bigram_blocked(spark, sf_dir), "cbs")
+    pts = _records(spark, sf_dir).select("record_id")
+    return canopy_clusters(
+        pts,
+        sims,
+        w_loose=_CANOPY_W_LOOSE,
+        w_tight=_CANOPY_W_TIGHT,
+        rounds=_CANOPY_ROUNDS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4318,6 +4406,7 @@ _DEFERRED_QUERIES = frozenset(
         "cluster_metrics",
         "bpe_decode_roundtrip",
         "one_to_one_match",
+        "canopy_blocking",
     }
 )
 

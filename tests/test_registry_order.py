@@ -37,7 +37,7 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 73
+    assert len(oracle_backed) == 74
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
     # +dsir_resample_production, +curation_incremental (all rows-only);
     # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
@@ -54,8 +54,10 @@ def test_rows_only_queries_register_last():
     # (hash-exact, deferred tier) → 87 = 50 gate + 13 deferred + 9
     # covered + 15 rows-only
     # late r7: +one_to_one_match (hash-exact deferred: greedy one-to-one
-    # linkage with an unrolled K-round SQL twin) → 88 = 50 + 14 + 9 + 15
-    assert len(names) == 88
+    # linkage with an unrolled K-round SQL twin) and +canopy_blocking
+    # (hash-exact deferred: KDD-2000 canopies via unrolled MIS rounds)
+    # → 89 = 50 + 15 + 9 + 15
+    assert len(names) == 89
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
@@ -65,9 +67,9 @@ def test_rows_only_queries_register_last():
         "chunk_shuffle", "meta_blocking_wep", "meta_blocking_cnp",
         "golden_record", "blocking_quality", "fellegi_sunter",
         "fellegi_sunter_tf", "cluster_metrics", "bpe_decode_roundtrip",
-        "one_to_one_match",
+        "one_to_one_match", "canopy_blocking",
     }
-    assert set(names[50:64]) == Q._DEFERRED_QUERIES
+    assert set(names[50:65]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root
