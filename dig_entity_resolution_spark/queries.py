@@ -4326,6 +4326,51 @@ def q_canopy_blocking(spark, sf_dir):
     )
 
 
+# -- Phonetic blocking keys (Soundex + NYSIIS; r7) ----------------------------
+
+from .functions.phonetic import (  # noqa: E402  (keeps the r7 section grouped)
+    nysiis_key,
+    nysiis_sql,
+    soundex_key,
+    soundex_sql,
+)
+
+
+@_q(
+    "phonetic_blocks",
+    f"WITH {SQL_RECORDS_CTE}, "
+    """tok_rows AS (
+      SELECT record_id, unnest(list_distinct(tokens)) AS tok FROM toks
+    ),
+    names AS (
+      SELECT record_id, tok FROM tok_rows
+      WHERE length(tok) >= 3 AND NOT regexp_matches(tok, '[0-9]')
+    )
+    SELECT record_id, tok, """
+    f"{soundex_sql('tok', 'duckdb')} AS soundex_key, "
+    f"{nysiis_sql('tok', 'duckdb')} AS nysiis_key FROM names",
+)
+def q_phonetic_blocks(spark, sf_dir):
+    """Per-record phonetic blocking keys (functions/phonetic.py): every
+    distinct alphabetic token of length >=3 carries its American-Soundex
+    and NYSIIS codes — the classic cheap blocking family (Christen 2012
+    ch.4) alongside prefix/q-gram keys. Value-exact row-per-token output
+    so the gate hashes every encoded key; both engines render the SAME
+    rule cascade (Java regex vs RE2), so a dialect drift in any of the
+    ~40 regex rules is a hash mismatch here. DEFERRED tier — the 50-row
+    gate is full."""
+    recs = _records(spark, sf_dir)
+    toks = recs.select(
+        "record_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    ).filter((F.length("tok") >= 3) & ~F.col("tok").rlike("[0-9]"))
+    return toks.select(
+        "record_id",
+        "tok",
+        soundex_key("tok").alias("soundex_key"),
+        nysiis_key("tok").alias("nysiis_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4407,6 +4452,7 @@ _DEFERRED_QUERIES = frozenset(
         "bpe_decode_roundtrip",
         "one_to_one_match",
         "canopy_blocking",
+        "phonetic_blocks",
     }
 )
 
