@@ -83,6 +83,53 @@ def minhash_lsh_blocks(
     )
 
 
+def phonetic_token_blocks(
+    records: DataFrame,
+    encoders: tuple[str, ...] = ("soundex", "nysiis"),
+    min_token_len: int = 3,
+) -> DataFrame:
+    """C1: phonetic blocking — each alphabetic token's Soundex / NYSIIS
+    code as a block key (functions/phonetic.py; Christen 2012 ch.4).
+    Catches spelling-variant matches ("smith"/"smyth") that exact token
+    blocking misses. Keys are namespaced per encoder so a Soundex code
+    never merges with an equal-looking NYSIIS code. Phonetic key spaces
+    are SMALL (Soundex has ≤26·7³ values), so head keys are enormous at
+    web scale — this strategy leans on the same stop-key suppression +
+    per-block caps as token blocking; never run it unarmored."""
+    from ..functions.phonetic import nysiis_key, soundex_key
+
+    enc_fns = {"soundex": soundex_key, "nysiis": nysiis_key}
+    unknown = set(encoders) - set(enc_fns)
+    if unknown:
+        raise ValueError(
+            f"unknown phonetic encoders {sorted(unknown)}; "
+            f"known: {sorted(enc_fns)}"
+        )
+    toks = (
+        records.select(
+            "record_id",
+            F.explode(F.array_distinct("tokens")).alias("tok"),
+        )
+        .filter(
+            (F.length("tok") >= min_token_len) & ~F.col("tok").rlike("[0-9]")
+        )
+    )
+    parts = [
+        toks.select(
+            "record_id",
+            F.concat(F.lit(f"{enc}:"), enc_fns[enc]("tok")).alias("block_key"),
+            F.lit("phonetic").alias("strategy"),
+        )
+        for enc in encoders
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # distinct per (record, key): two tokens of one record sharing a code
+    # must not double-count the record in the block
+    return out.distinct()
+
+
 def all_blocks(
     records: DataFrame,
     strategies: tuple[str, ...] = ("token", "prefix", "minhash_lsh"),
@@ -103,6 +150,14 @@ def all_blocks(
                 kw.get("num_perm", 32),
                 kw.get("bands", 8),
                 kw.get("hash_fn", "xxhash64"),
+            )
+        )
+    if "phonetic" in strategies:
+        parts.append(
+            phonetic_token_blocks(
+                records,
+                kw.get("phonetic_encoders", ("soundex", "nysiis")),
+                kw.get("min_token_len", 3),
             )
         )
     if not parts:

@@ -56,7 +56,11 @@ class ERConfig:
     #: is PAIR-producing — multi-pass SN windows union into cand_pairs
     #: directly, with delta-proportional incremental semantics
     #: (operators/blocking.py sorted_neighborhood_delta_pairs)
+    #: "phonetic" (r7) adds Soundex/NYSIIS token codes to the inverted
+    #: index — spelling-variant recall; relies on the stop-key armor
+    #: (phonetic key spaces are small, so head keys are huge at scale)
     strategies: tuple[str, ...] = ("token", "prefix", "minhash_lsh")
+    phonetic_encoders: tuple[str, ...] = ("soundex", "nysiis")
     min_token_len: int = 3
     prefix_n: int = 8
     shingle_k: int = 5
@@ -113,7 +117,7 @@ class ERPipeline:
     #: silently contribute NOTHING (all_blocks skips unknown entries and
     #: the pipeline would resolve with whatever strategies remain)
     KNOWN_STRATEGIES = frozenset(
-        {"token", "prefix", "minhash_lsh", "sorted_neighborhood"}
+        {"token", "prefix", "minhash_lsh", "sorted_neighborhood", "phonetic"}
     )
 
     def __init__(
@@ -219,6 +223,7 @@ class ERPipeline:
             shingle_k=self.cfg.shingle_k,
             num_perm=self.cfg.num_perm,
             bands=self.cfg.bands,
+            phonetic_encoders=self.cfg.phonetic_encoders,
         )
 
     def _blocks(self, raw_blocks: DataFrame) -> DataFrame:

@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         "--strategies",
         default="token,prefix,minhash_lsh",
         help="comma list of blocking strategies: token, prefix, "
-        "minhash_lsh, sorted_neighborhood (r5; pair-producing — see "
+        "minhash_lsh, phonetic (r7; Soundex+NYSIIS token codes), "
+        "sorted_neighborhood (r5; pair-producing — see "
         "ERConfig)",
     )
     p.add_argument("--sn-window", type=int, default=4)

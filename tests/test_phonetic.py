@@ -317,3 +317,76 @@ def test_spark_null_contract(spark):
                      nysiis_key("nm").alias("n")).collect()
     assert (rows[0].s, rows[0].n) == (None, None)
     assert (rows[1].s, rows[1].n) == ("S530", "SNAT")
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: "phonetic" blocking strategy
+# ---------------------------------------------------------------------------
+
+
+def _mk_records(spark, rows):
+    from dig_entity_resolution_spark.functions.normalize import (
+        normalize_text,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(rows, "record_id long, text string")
+    return df.withColumn("norm_text", normalize_text("text")).withColumn(
+        "tokens", tokenize("norm_text")
+    )
+
+
+def test_phonetic_strategy_recovers_spelling_variants(spark):
+    """Two records sharing NO exact token (and distinct prefixes) must
+    still pair through a shared Soundex/NYSIIS code — the recall case
+    exact token blocking structurally cannot produce."""
+    from dig_entity_resolution_spark.operators.blocking import (
+        all_blocks,
+        candidate_pairs,
+        phonetic_token_blocks,
+        token_blocks,
+    )
+
+    recs = _mk_records(
+        spark,
+        [(1, "jon smyth dayton"), (2, "john smith daiton"), (3, "zzq vexing")],
+    )
+    tok_pairs = candidate_pairs(token_blocks(recs))
+    assert tok_pairs.count() == 0  # no exact token overlap anywhere
+    pairs = candidate_pairs(phonetic_token_blocks(recs)).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(1, 2)}
+    # the union path namespaces keys per strategy and encoder
+    blocks = all_blocks(recs, strategies=("token", "phonetic"))
+    keys = {r.block_key for r in blocks.collect()}
+    assert any(k.startswith("phonetic|soundex:") for k in keys)
+    assert any(k.startswith("phonetic|nysiis:") for k in keys)
+
+
+def test_phonetic_strategy_rejects_unknown_encoder(spark):
+    from dig_entity_resolution_spark.operators.blocking import (
+        phonetic_token_blocks,
+    )
+
+    recs = _mk_records(spark, [(1, "abc def")])
+    with pytest.raises(ValueError, match="unknown phonetic encoders"):
+        phonetic_token_blocks(recs, encoders=("metaphone",)).collect()
+
+
+def test_e2e_f1_with_phonetic_strategy(spark, tmp_path):
+    """Adding phonetic keys must not COST correctness: the synthetic
+    corpus stays F1 == 1.0 with the strategy enabled (extra candidates
+    are filtered by scoring; head phonetic keys by the stop-key armor)."""
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+    from dig_entity_resolution_spark.synth import generate_corpus
+
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=12, cluster_size=3,
+        n_singletons=40, seed=7,
+    )
+    pages = spark.read.parquet(paths["pages"])
+    cfg = ERConfig(strategies=("token", "prefix", "minhash_lsh", "phonetic"))
+    pipe = ERPipeline(spark, str(tmp_path / "wh"), "pho", cfg)
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(paths["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
