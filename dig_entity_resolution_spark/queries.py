@@ -4371,6 +4371,45 @@ def q_phonetic_blocks(spark, sf_dir):
     )
 
 
+# -- Prefix-filtered set-similarity join (SSJoin/PPJoin family; r7) -----------
+
+SSJOIN_T = 0.5
+
+
+@_q(
+    "ssjoin_jaccard",
+    f"WITH {SQL_RECORDS_CTE}, "
+    f"""sets AS (
+      SELECT record_id, {_sql_shingles('norm_text', 5)} AS s
+      FROM records WHERE length(norm_text) > 0
+    ),
+    sized AS (SELECT record_id, s, len(s) AS sz FROM sets)
+    SELECT a.record_id AS id1, b.record_id AS id2,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (a.sz + b.sz - len(list_intersect(a.s, b.s))), {R6})
+             AS jaccard
+    FROM sized a JOIN sized b
+      ON a.record_id < b.record_id
+     AND least(a.sz, b.sz) >= {SSJOIN_T} * greatest(a.sz, b.sz)
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= {SSJOIN_T}""",
+)
+def q_ssjoin_jaccard(spark, sf_dir):
+    """Exact all-pairs shingle-Jaccard >= 0.5 via the prefix-filtered
+    set-similarity join (operators/ssjoin.py) — the EXACT counterpart of
+    the MinHash/LSH near-dup path. The oracle is a brute-force O(n²)
+    cross join (with the same length filter), so the gate proves the
+    prefix filter dropped NO qualifying pair — the completeness theorem,
+    checked on data. DEFERRED tier — the 50-row gate is full."""
+    from .operators.ssjoin import ssjoin_jaccard
+
+    recs = _records(spark, sf_dir).filter(F.length("norm_text") > 0)
+    sets = recs.select("record_id", char_shingles("norm_text", 5).alias("sh"))
+    return ssjoin_jaccard(
+        sets, SSJOIN_T, id_col="record_id", set_col="sh", round_to=R6
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4453,6 +4492,7 @@ _DEFERRED_QUERIES = frozenset(
         "one_to_one_match",
         "canopy_blocking",
         "phonetic_blocks",
+        "ssjoin_jaccard",
     }
 )
 

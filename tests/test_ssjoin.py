@@ -1,0 +1,108 @@
+"""Prefix-filtered set-similarity join (operators/ssjoin.py).
+
+The load-bearing property is COMPLETENESS — the prefix filter must drop
+no pair with Jaccard >= t — so every test compares against a plain
+brute-force O(n²) reference over the same sets. Random corpora are
+generated with small vocabularies on purpose: heavy set overlap is the
+regime where a buggy prefix length actually loses pairs."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from dig_entity_resolution_spark.operators.ssjoin import ssjoin_jaccard
+
+
+def brute_force(sets: dict[int, set], t: float) -> dict[tuple[int, int], float]:
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= t:
+            out[(a, b)] = round(jac, 6)
+    return out
+
+
+def _run(spark, sets: dict[int, set], t: float) -> dict[tuple[int, int], float]:
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "record_id long, tokens array<string>",
+    )
+    rows = ssjoin_jaccard(df, t).collect()
+    return {(r.id1, r.id2): r.jaccard for r in rows}
+
+
+@pytest.mark.parametrize("seed,t", [(0, 0.5), (1, 0.3), (2, 0.7), (3, 0.9)])
+def test_matches_brute_force_random(spark, seed, t):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → dense overlap
+    sets = {
+        i: set(rng.sample(vocab, rng.randint(1, 15))) for i in range(60)
+    }
+    assert _run(spark, sets, t) == brute_force(sets, t)
+
+
+def test_zipf_vocab_matches_brute_force(spark):
+    """Zipf-weighted draws: hot tokens everywhere — the regime the
+    rarity-ordered prefix is designed for. Same answer required."""
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(100)]
+    weights = [1.0 / (i + 1) for i in range(100)]
+    sets = {
+        i: set(rng.choices(vocab, weights=weights, k=rng.randint(2, 20)))
+        for i in range(80)
+    }
+    t = 0.4
+    assert _run(spark, sets, t) == brute_force(sets, t)
+
+
+def test_threshold_one_is_exact_duplicates(spark):
+    sets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b", "c"},
+        3: {"a", "b"},
+        4: {"x"},
+        5: {"x"},
+    }
+    got = _run(spark, sets, 1.0)
+    assert got == {(1, 2): 1.0, (4, 5): 1.0}
+
+
+def test_duplicate_tokens_and_empty_sets(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a"]), (3, [])],
+        "record_id long, tokens array<string>",
+    )
+    rows = ssjoin_jaccard(df, 0.5).collect()
+    assert {(r.id1, r.id2): r.jaccard for r in rows} == {(1, 2): 1.0}
+
+
+def test_boundary_threshold_inclusive(spark):
+    # |{a,b} ∩ {b,c}| / |{a,b,c}| = 1/3; J({a,b},{b}) = 1/2
+    sets = {1: {"a", "b"}, 2: {"b"}}
+    assert _run(spark, sets, 0.5) == {(1, 2): 0.5}
+    assert _run(spark, sets, 0.5001) == {}
+
+
+def test_invalid_threshold_raises(spark):
+    df = spark.createDataFrame([(1, ["a"])], "record_id long, tokens array<string>")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            ssjoin_jaccard(df, bad)
+
+
+def test_plan_has_no_python_and_two_scans(spark):
+    """The whole operator must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas nodes anywhere in the plan."""
+    df = spark.createDataFrame(
+        [(i, [f"w{j}" for j in range(i % 5 + 1)]) for i in range(20)],
+        "record_id long, tokens array<string>",
+    )
+    plan = ssjoin_jaccard(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
