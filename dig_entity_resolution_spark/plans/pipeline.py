@@ -146,6 +146,15 @@ class ERPipeline:
             raise ValueError(
                 "sorted_neighborhood strategy requires non-empty sn_keys"
             )
+        if "phonetic" in self.cfg.strategies:
+            bad = set(self.cfg.phonetic_encoders) - {"soundex", "nysiis"}
+            if bad or not self.cfg.phonetic_encoders:
+                # same construction-time discipline as the checks above
+                raise ValueError(
+                    f"phonetic strategy requires encoders from "
+                    f"{{'soundex', 'nysiis'}}, got "
+                    f"{self.cfg.phonetic_encoders!r}"
+                )
         if self.cfg.scorer not in ("blend", "fellegi_sunter"):
             raise ValueError(
                 f"unknown scorer {self.cfg.scorer!r}; known: blend, "

@@ -4410,6 +4410,77 @@ def q_ssjoin_jaccard(spark, sf_dir):
     )
 
 
+# -- Soft-TFIDF hybrid comparator (Cohen/Ravikumar/Fienberg IIWeb'03; r7) -----
+
+SOFT_TFIDF_THETA = 0.9
+
+
+@_q(
+    "pairs_soft_tfidf",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    + f"""
+term_rows AS (
+  SELECT record_id, unnest(tokens) AS term FROM toks
+),
+tf AS (
+  SELECT record_id, term, count(*)::BIGINT AS tf
+  FROM term_rows GROUP BY record_id, term
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT record_id)::BIGINT AS n_docs FROM records),
+tfidf AS (
+  SELECT tf.record_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT record_id, sqrt(sum(weight * weight)) AS nrm FROM tfidf GROUP BY record_id
+),
+v AS (
+  SELECT t.record_id, t.term, t.weight / m.nrm AS v
+  FROM tfidf t JOIN norms m USING (record_id) WHERE m.nrm > 0
+),
+wp AS (
+  SELECT p.id1, p.id2, a.term AS t1, b.term AS t2, a.v AS v1, b.v AS v2,
+         jaro_winkler_similarity(a.term, b.term) AS jw
+  FROM pairs p
+  JOIN v a ON a.record_id = p.id1
+  JOIN v b ON b.record_id = p.id2
+  WHERE least(length(a.term), length(b.term))::DOUBLE
+        >= {5.0 * SOFT_TFIDF_THETA - 4.0}
+           * greatest(length(a.term), length(b.term))::DOUBLE
+    AND jaro_winkler_similarity(a.term, b.term) > {SOFT_TFIDF_THETA}
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id1, id2, t1 ORDER BY jw DESC, t2 ASC) AS rn
+  FROM wp
+),
+s AS (
+  SELECT id1, id2, sum(v1 * v2 * jw) AS score
+  FROM best WHERE rn = 1 GROUP BY id1, id2
+)
+SELECT p.id1, p.id2, round(coalesce(s.score, 0), {R6}) AS soft_tfidf
+FROM pairs p LEFT JOIN s USING (id1, id2)""",
+)
+def q_pairs_soft_tfidf(spark, sf_dir):
+    """Soft-TFIDF per candidate pair (operators/scoring.soft_tfidf_scores):
+    TF-IDF cosine credit extended to NEAR-equal words via each S-word's
+    best Jaro-Winkler match in T above θ=0.9 — the classic hybrid
+    name comparator. Same candidate pairs, tf/idf formulation, and
+    JW kernel as the gated pairs_* queries; ties in the argmax break on
+    term order so both engines agree. DEFERRED tier — gate full."""
+    from .operators.scoring import soft_tfidf_scores
+
+    recs = _records(spark, sf_dir)
+    pairs = _token_pairs(spark, sf_dir)
+    return soft_tfidf_scores(pairs, recs, SOFT_TFIDF_THETA).select(
+        "id1", "id2", F.round("soft_tfidf", R6).alias("soft_tfidf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4493,6 +4564,7 @@ _DEFERRED_QUERIES = frozenset(
         "canopy_blocking",
         "phonetic_blocks",
         "ssjoin_jaccard",
+        "pairs_soft_tfidf",
     }
 )
 

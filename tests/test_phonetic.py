@@ -390,3 +390,12 @@ def test_e2e_f1_with_phonetic_strategy(spark, tmp_path):
     labels = spark.read.parquet(paths["labels"])
     prf = pipe.evaluate(clusters, labels).collect()[0]
     assert prf.f1 >= 0.99, prf.asDict()
+
+
+def test_pipeline_rejects_bad_phonetic_encoder(spark, tmp_path):
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+
+    for enc in ((), ("metaphone",)):
+        cfg = ERConfig(strategies=("token", "phonetic"), phonetic_encoders=enc)
+        with pytest.raises(ValueError, match="phonetic strategy requires"):
+            ERPipeline(spark, str(tmp_path / "wh"), "bad", cfg)

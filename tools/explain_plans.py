@@ -243,6 +243,26 @@ CHECKS = {
         "must": ["BroadcastNestedLoopJoin"],
         "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     },
+    "phonetic_blocks": {
+        # late r7: Soundex/NYSIIS rule cascades are pure string
+        # expressions — explode + project over the scan, zero Python
+        "must": ["Project"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "ssjoin_jaccard": {
+        # late r7: prefix-filtered similarity join — the token-df
+        # dictionary broadcasts back onto the exploded tokens; verify is
+        # native array_intersect, no Python anywhere
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "pairs_soft_tfidf": {
+        # late r7: exactly one Arrow-batched JW kernel over the
+        # length-band-filtered word-pair stream; the argmax window and
+        # TF-IDF joins are native
+        "must": ["ArrowEvalPython"],
+        "must_not": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
