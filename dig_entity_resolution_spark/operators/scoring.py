@@ -226,6 +226,48 @@ def soft_tfidf_scores(
     )
 
 
+def monge_elkan_scores(
+    pairs: DataFrame,
+    records: DataFrame,
+    sim_col: str = "monge_elkan",
+) -> DataFrame:
+    """Monge-Elkan hybrid comparator (Monge & Elkan, KDD'96 workshop):
+
+      ME(S,T) = (1/|S|) · Σ_{w ∈ S} max_{u ∈ T} JW(w, u)
+
+    over DISTINCT tokens, with the Jaro-Winkler Arrow kernel as the
+    inner similarity. Asymmetric by definition (S = id1 → T = id2), like
+    soft_tfidf_scores. Unlike soft-TFIDF there is no θ cutoff, so the
+    full |S|×|T| word-pair stream feeds the kernel — the comparator is
+    for short name-like strings; both aggregates (max per S-word, then
+    avg) are native and order-independent except the final avg, which
+    callers round (same convention as the cosine path). Pairs where
+    either side has no tokens score 0.0."""
+    terms = records.select(
+        "record_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    t1 = terms.select(
+        F.col("record_id").alias("id1"), F.col("term").alias("t1")
+    )
+    t2 = terms.select(
+        F.col("record_id").alias("id2"), F.col("term").alias("t2")
+    )
+    best = (
+        pairs.select("id1", "id2")
+        .join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("jw", jaro_winkler("t1", "t2"))
+        .groupBy("id1", "id2", "t1")
+        .agg(F.max("jw").alias("best_jw"))
+    )
+    scores = best.groupBy("id1", "id2").agg(
+        F.avg("best_jw").alias(sim_col)
+    )
+    return pairs.select("id1", "id2").join(scores, ["id1", "id2"], "left").select(
+        "id1", "id2", F.coalesce(sim_col, F.lit(0.0)).alias(sim_col)
+    )
+
+
 DEFAULT_WEIGHTS = {"jw": 0.35, "lev_sim": 0.25, "tfidf_cos": 0.4}
 
 

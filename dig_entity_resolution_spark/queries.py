@@ -4481,6 +4481,45 @@ def q_pairs_soft_tfidf(spark, sf_dir):
     )
 
 
+# -- Monge-Elkan hybrid comparator (Monge & Elkan 1996; r7) -------------------
+
+
+@_q(
+    "pairs_monge_elkan",
+    f"WITH {SQL_RECORDS_CTE}, {SQL_TOKEN_BLOCKS_CTE},"
+    + f"""
+terms AS (
+  SELECT DISTINCT record_id, unnest(tokens) AS term FROM toks
+),
+best AS (
+  SELECT p.id1, p.id2, a.term AS t1,
+         max(jaro_winkler_similarity(a.term, b.term)) AS best_jw
+  FROM pairs p
+  JOIN terms a ON a.record_id = p.id1
+  JOIN terms b ON b.record_id = p.id2
+  GROUP BY p.id1, p.id2, a.term
+),
+s AS (
+  SELECT id1, id2, avg(best_jw) AS score FROM best GROUP BY id1, id2
+)
+SELECT p.id1, p.id2, round(coalesce(s.score, 0), {R6}) AS monge_elkan
+FROM pairs p LEFT JOIN s USING (id1, id2)""",
+)
+def q_pairs_monge_elkan(spark, sf_dir):
+    """Monge-Elkan per candidate pair (operators/scoring
+    .monge_elkan_scores): mean over S-words of the best Jaro-Winkler
+    match in T — the 1996 hybrid comparator, no cutoff. max is
+    order-independent; the final avg follows the cosine rounding
+    convention. DEFERRED tier — gate full."""
+    from .operators.scoring import monge_elkan_scores
+
+    recs = _records(spark, sf_dir)
+    pairs = _token_pairs(spark, sf_dir)
+    return monge_elkan_scores(pairs, recs).select(
+        "id1", "id2", F.round("monge_elkan", R6).alias("monge_elkan")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4565,6 +4604,7 @@ _DEFERRED_QUERIES = frozenset(
         "phonetic_blocks",
         "ssjoin_jaccard",
         "pairs_soft_tfidf",
+        "pairs_monge_elkan",
     }
 )
 

@@ -37,7 +37,7 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 77
+    assert len(oracle_backed) == 78
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
     # +dsir_resample_production, +curation_incremental (all rows-only);
     # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
@@ -62,8 +62,9 @@ def test_rows_only_queries_register_last():
     # (hash-exact deferred: prefix-filtered exact similarity join vs a
     # brute-force O(n²) oracle) → 91 = 50 + 17 + 9 + 15
     # late r7: +pairs_soft_tfidf (hash-exact deferred: Cohen et al.
-    # hybrid comparator) → 92 = 50 + 18 + 9 + 15
-    assert len(names) == 92
+    # hybrid comparator) and +pairs_monge_elkan (hash-exact deferred:
+    # the 1996 mean-best-match comparator) → 93 = 50 + 19 + 9 + 15
+    assert len(names) == 93
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
@@ -74,9 +75,9 @@ def test_rows_only_queries_register_last():
         "golden_record", "blocking_quality", "fellegi_sunter",
         "fellegi_sunter_tf", "cluster_metrics", "bpe_decode_roundtrip",
         "one_to_one_match", "canopy_blocking", "phonetic_blocks",
-        "ssjoin_jaccard", "pairs_soft_tfidf",
+        "ssjoin_jaccard", "pairs_soft_tfidf", "pairs_monge_elkan",
     }
-    assert set(names[50:68]) == Q._DEFERRED_QUERIES
+    assert set(names[50:69]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root

@@ -127,3 +127,75 @@ def test_pair_with_empty_side_scores_zero(spark):
     pdf = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
     rows = soft_tfidf_scores(pdf, rdf, 0.9).collect()
     assert [(r.id1, r.id2, r.soft_tfidf) for r in rows] == [(1, 2, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan (same reference infrastructure)
+# ---------------------------------------------------------------------------
+
+
+def me_ref(
+    recs: dict[int, list[str]],
+    pairs: list[tuple[int, int]],
+) -> dict[tuple[int, int], float]:
+    out = {}
+    for a, b in pairs:
+        sa, sb = sorted(set(recs[a])), sorted(set(recs[b]))
+        if not sa or not sb:
+            out[(a, b)] = 0.0
+            continue
+        s = sum(max(_jw(w, u) for u in sb) for w in sa) / len(sa)
+        out[(a, b)] = round(s, 6)
+    return out
+
+
+def _run_me(spark, recs, pairs):
+    from dig_entity_resolution_spark.operators.scoring import (
+        monge_elkan_scores,
+    )
+
+    rdf = spark.createDataFrame(
+        [(i, ws) for i, ws in recs.items()],
+        "record_id long, tokens array<string>",
+    )
+    pdf = spark.createDataFrame(pairs, "id1 long, id2 long")
+    rows = monge_elkan_scores(pdf, rdf).collect()
+    return {(r.id1, r.id2): round(r.monge_elkan, 6) for r in rows}
+
+
+def test_monge_elkan_identical_is_one(spark):
+    recs = {1: ["anna", "lopez"], 2: ["anna", "lopez"]}
+    assert _run_me(spark, recs, [(1, 2)]) == {(1, 2): 1.0}
+
+
+def test_monge_elkan_asymmetric_direction(spark):
+    """S ⊂ T gives ME(S,T) = 1.0 (every S-word matches exactly) while
+    T's extra word would dilute the reverse direction — pin the S=id1
+    convention by checking the containment case scores 1.0."""
+    recs = {1: ["anna"], 2: ["anna", "zzz"]}
+    assert _run_me(spark, recs, [(1, 2)]) == {(1, 2): 1.0}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_monge_elkan_matches_reference_random(spark, seed):
+    rng = random.Random(seed)
+    base = ["anderson", "andersen", "jonson", "johnson", "smith", "smyth",
+            "garcia", "chen", "cheng", "miller", "muller", "lopez",
+            "lopes", "brown", "braun", "lee", "li", "kim"]
+    recs = {i: rng.sample(base, rng.randint(1, 4)) for i in range(25)}
+    pairs = [(a, b) for a in range(25) for b in range(a + 1, 25)
+             if rng.random() < 0.25]
+    assert _run_me(spark, recs, pairs) == me_ref(recs, pairs)
+
+
+def test_monge_elkan_empty_side_scores_zero(spark):
+    from dig_entity_resolution_spark.operators.scoring import (
+        monge_elkan_scores,
+    )
+
+    rdf = spark.createDataFrame(
+        [(1, ["a"]), (2, [])], "record_id long, tokens array<string>"
+    )
+    pdf = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    rows = monge_elkan_scores(pdf, rdf).collect()
+    assert [(r.id1, r.id2, r.monge_elkan) for r in rows] == [(1, 2, 0.0)]

@@ -263,6 +263,11 @@ CHECKS = {
         "must": ["ArrowEvalPython"],
         "must_not": ["CartesianProduct", "BatchEvalPython"],
     },
+    "pairs_monge_elkan": {
+        # late r7: one Arrow JW kernel; max/avg aggregates native
+        "must": ["ArrowEvalPython"],
+        "must_not": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
