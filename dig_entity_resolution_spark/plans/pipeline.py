@@ -58,9 +58,16 @@ class ERConfig:
     #: (operators/blocking.py sorted_neighborhood_delta_pairs)
     #: "phonetic" (r7) adds Soundex/NYSIIS token codes to the inverted
     #: index — spelling-variant recall; relies on the stop-key armor
-    #: (phonetic key spaces are small, so head keys are huge at scale)
+    #: (phonetic key spaces are small, so head keys are huge at scale).
+    #: "similarity_join" (late r7) is PAIR-producing like SN: EXACT
+    #: all-pairs shingle-Jaccard >= ssjoin_t via the prefix-filtered
+    #: ssjoin — guaranteed recall at the threshold (no LSH probability),
+    #: with order-invariant output so incremental == batch is an
+    #: identity (operators/ssjoin.ssjoin_jaccard_touching)
     strategies: tuple[str, ...] = ("token", "prefix", "minhash_lsh")
     phonetic_encoders: tuple[str, ...] = ("soundex", "nysiis")
+    ssjoin_t: float = 0.5
+    ssjoin_shingle_k: int = 5
     min_token_len: int = 3
     prefix_n: int = 8
     shingle_k: int = 5
@@ -117,7 +124,14 @@ class ERPipeline:
     #: silently contribute NOTHING (all_blocks skips unknown entries and
     #: the pipeline would resolve with whatever strategies remain)
     KNOWN_STRATEGIES = frozenset(
-        {"token", "prefix", "minhash_lsh", "sorted_neighborhood", "phonetic"}
+        {
+            "token",
+            "prefix",
+            "minhash_lsh",
+            "sorted_neighborhood",
+            "phonetic",
+            "similarity_join",
+        }
     )
 
     def __init__(
@@ -264,7 +278,29 @@ class ERPipeline:
             # dedup across strategies: a pair found by both an equi-block
             # and an SN window must score once, not twice
             pairs = pairs.unionByName(sn).dropDuplicates(["id1", "id2"])
+        if "similarity_join" in self.cfg.strategies:
+            pairs = pairs.unionByName(
+                self._ssjoin_pairs(records)
+            ).dropDuplicates(["id1", "id2"])
         return pairs
+
+    def _ssjoin_records(self, records: DataFrame) -> DataFrame:
+        from ..functions.normalize import char_shingles
+
+        # empty norm_text would shingle to [''] and every pair of empty
+        # documents would "match" at J = 1.0 — drop them from the join
+        # input (they still flow through the pipeline as singletons)
+        return records.filter(F.length("norm_text") > 0).select(
+            "record_id",
+            char_shingles("norm_text", self.cfg.ssjoin_shingle_k).alias("sh"),
+        )
+
+    def _ssjoin_pairs(self, records: DataFrame) -> DataFrame:
+        from ..operators.ssjoin import ssjoin_jaccard
+
+        return ssjoin_jaccard(
+            self._ssjoin_records(records), self.cfg.ssjoin_t, set_col="sh"
+        ).select("id1", "id2")
 
     def _fs_model_path(self, run_id: str | None = None) -> str:
         import os
@@ -689,6 +725,23 @@ class ERPipeline:
                     records, delta_ids, changed_ids, old_records, scored_old
                 )
             ).dropDuplicates(["id1", "id2"])
+        if "similarity_join" in self.cfg.strategies:
+            from ..operators.ssjoin import ssjoin_jaccard_touching
+
+            # exact delta form: every J >= t pair touching a delta record
+            # (append-only: new ids were never scored; latest_wins:
+            # decisions touching changed ids were retracted above) — the
+            # verified pair set is order-invariant, so base ∪ delta equals
+            # the from-scratch run identically
+            sj = ssjoin_jaccard_touching(
+                self._ssjoin_records(records),
+                delta_ids,
+                self.cfg.ssjoin_t,
+                set_col="sh",
+            ).select("id1", "id2")
+            new_pairs = new_pairs.unionByName(sj).dropDuplicates(
+                ["id1", "id2"]
+            )
         todo = ck.write("cand_pairs", new_pairs)
         scored = ck.write(
             "scored_pairs",

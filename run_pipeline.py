@@ -68,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
         default="token,prefix,minhash_lsh",
         help="comma list of blocking strategies: token, prefix, "
         "minhash_lsh, phonetic (r7; Soundex+NYSIIS token codes), "
+        "similarity_join (r7; pair-producing exact shingle-Jaccard "
+        "ssjoin, guaranteed recall at ssjoin_t), "
         "sorted_neighborhood (r5; pair-producing — see "
         "ERConfig)",
     )

@@ -106,3 +106,80 @@ def test_plan_has_no_python_and_two_scans(spark):
     plan = ssjoin_jaccard(df, 0.5)._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# delta-restricted form + "similarity_join" pipeline strategy
+# ---------------------------------------------------------------------------
+
+
+def test_touching_equals_brute_force_restriction(spark):
+    from dig_entity_resolution_spark.operators.ssjoin import (
+        ssjoin_jaccard_touching,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    sets = {i: set(rng.sample(vocab, rng.randint(1, 12))) for i in range(50)}
+    delta = {i for i in sets if i % 5 == 0}
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "record_id long, tokens array<string>",
+    )
+    ddf = spark.createDataFrame([(i,) for i in delta], "record_id long")
+    t = 0.4
+    rows = ssjoin_jaccard_touching(df, ddf, t).collect()
+    got = {(r.id1, r.id2): r.jaccard for r in rows}
+    want = {
+        p: j for p, j in brute_force(sets, t).items()
+        if p[0] in delta or p[1] in delta
+    }
+    assert got == want
+
+
+def test_e2e_f1_with_similarity_join_only(spark, tmp_path):
+    """similarity_join as the SOLE strategy: exact shingle-Jaccard recall
+    must reconstruct the planted clusters (F1 == 1.0) — candidate pairs
+    come only from the prefix-filtered join, no inverted index at all."""
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+    from dig_entity_resolution_spark.synth import generate_corpus
+
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=12, cluster_size=3,
+        n_singletons=40, seed=11,
+    )
+    pages = spark.read.parquet(paths["pages"])
+    cfg = ERConfig(strategies=("similarity_join",), ssjoin_t=0.3)
+    pipe = ERPipeline(spark, str(tmp_path / "wh"), "sj", cfg)
+    clusters = pipe.run(pages)
+    labels = spark.read.parquet(paths["labels"])
+    prf = pipe.evaluate(clusters, labels).collect()[0]
+    assert prf.f1 >= 0.99, prf.asDict()
+
+
+def test_incremental_similarity_join_equals_batch(spark, tmp_path):
+    """The order-invariance claim, checked end-to-end: split the corpus,
+    run base + incremental with similarity_join enabled, and require
+    cluster-identical output vs the from-scratch run over everything."""
+    from pyspark.sql import functions as F
+    from dig_entity_resolution_spark.plans.pipeline import ERConfig, ERPipeline
+    from dig_entity_resolution_spark.synth import generate_corpus
+
+    paths = generate_corpus(
+        str(tmp_path / "corpus"), n_clusters=10, cluster_size=3,
+        n_singletons=30, seed=13,
+    )
+    pages = spark.read.parquet(paths["pages"])
+    cfg = ERConfig(strategies=("token", "similarity_join"), ssjoin_t=0.3)
+    wh = str(tmp_path / "wh")
+
+    full = ERPipeline(spark, wh, "full", cfg).run(pages)
+    full_rows = sorted((r.record_id, r.cluster_id) for r in full.collect())
+
+    part_a = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    part_b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    ERPipeline(spark, wh, "base", cfg).run(part_a)
+    incr = ERPipeline(spark, wh, "incr", cfg)
+    merged = incr.run_incremental(part_b, "base")
+    got = sorted((r.record_id, r.cluster_id) for r in merged.collect())
+    assert got == full_rows
