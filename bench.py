@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "bpe_decode_roundtrip",
     "one_to_one_match",
     "canopy_blocking",
+    # late-r7 additions
+    "phonetic_blocks",
+    "ssjoin_jaccard",
+    "pairs_soft_tfidf",
+    "pairs_monge_elkan",
 ]
 
 
