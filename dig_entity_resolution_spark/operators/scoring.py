@@ -198,7 +198,7 @@ def soft_tfidf_scores(
         F.col("v").alias("v2"),
     )
     len_bound = 5.0 * theta - 4.0
-    wp = (
+    stream = (
         pairs.select("id1", "id2")
         .join(v1, "id1")
         .join(v2, "id2")
@@ -207,9 +207,20 @@ def soft_tfidf_scores(
             >= F.lit(len_bound)
             * F.greatest(F.length("t1"), F.length("t2")).cast("double")
         )
+    )
+    # run the kernel once per DISTINCT vocabulary pair, not once per
+    # occurrence in the candidate-pair stream: the same (t1, t2) repeats
+    # across every candidate pair sharing those words, and partial
+    # aggregation collapses the distinct() map-side. The θ-filtered sims
+    # table is small, so AQE converts the join back onto the stream to a
+    # broadcast at runtime.
+    sims = (
+        stream.select("t1", "t2")
+        .distinct()
         .withColumn("jw", jaro_winkler("t1", "t2"))
         .filter(F.col("jw") > theta)
     )
+    wp = stream.join(sims, ["t1", "t2"])
     best = wp.withColumn(
         "rn",
         F.row_number().over(
@@ -252,11 +263,16 @@ def monge_elkan_scores(
     t2 = terms.select(
         F.col("record_id").alias("id2"), F.col("term").alias("t2")
     )
-    best = (
-        pairs.select("id1", "id2")
-        .join(t1, "id1")
-        .join(t2, "id2")
+    stream = pairs.select("id1", "id2").join(t1, "id1").join(t2, "id2")
+    # kernel per DISTINCT vocabulary pair (same rationale as
+    # soft_tfidf_scores); no θ here, so no filter on the sims table
+    sims = (
+        stream.select("t1", "t2")
+        .distinct()
         .withColumn("jw", jaro_winkler("t1", "t2"))
+    )
+    best = (
+        stream.join(sims, ["t1", "t2"])
         .groupBy("id1", "id2", "t1")
         .agg(F.max("jw").alias("best_jw"))
     )
