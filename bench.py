@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "ssjoin_jaccard",
     "pairs_soft_tfidf",
     "pairs_monge_elkan",
+    "cosine_allpairs",
 ]
 
 

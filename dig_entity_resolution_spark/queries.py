@@ -4528,6 +4528,60 @@ def q_pairs_monge_elkan(spark, sf_dir):
     )
 
 
+# -- Exact all-pairs cosine join (All-Pairs family, Bayardo WWW'07; r7) -------
+
+COS_JOIN_T = 0.8
+
+
+@_q(
+    "cosine_allpairs",
+    f"WITH {SQL_RECORDS_CTE},"
+    + f"""
+term_rows AS (
+  SELECT record_id, unnest(tokens) AS term FROM toks
+),
+tf AS (
+  SELECT record_id, term, count(*)::BIGINT AS tf
+  FROM term_rows GROUP BY record_id, term
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT record_id)::BIGINT AS n_docs FROM records),
+tfidf AS (
+  SELECT tf.record_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT record_id, sqrt(sum(w * w)) AS nrm FROM tfidf GROUP BY record_id
+),
+v AS (
+  SELECT t.record_id, t.term, t.w / m.nrm AS w
+  FROM tfidf t JOIN norms m USING (record_id) WHERE m.nrm > 0
+),
+dots AS (
+  SELECT a.record_id AS id1, b.record_id AS id2, sum(a.w * b.w) AS c
+  FROM v a JOIN v b ON a.term = b.term AND a.record_id < b.record_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(c, {R6}) AS cosine FROM dots WHERE c >= {COS_JOIN_T}""",
+)
+def q_cosine_allpairs(spark, sf_dir):
+    """Exact all-pairs TF-IDF cosine >= 0.8 over the corpus — no
+    candidate pairs given, no ANN approximation: the residual-norm
+    prefix join (operators/ssjoin.cosine_ssjoin) finds every qualifying
+    pair, and the brute-force term-join oracle proves no pair was lost.
+    Completes the similarity-join triangle: ssjoin_jaccard (exact set),
+    embedding_ann_* (approximate dense), this (exact sparse cosine).
+    DEFERRED tier — gate full."""
+    from .operators.scoring import tfidf_terms
+    from .operators.ssjoin import cosine_ssjoin
+
+    tfidf = tfidf_terms(_records(spark, sf_dir))
+    return cosine_ssjoin(tfidf, COS_JOIN_T, round_to=R6)
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors
 # ---------------------------------------------------------------------------
@@ -4613,6 +4667,7 @@ _DEFERRED_QUERIES = frozenset(
         "ssjoin_jaccard",
         "pairs_soft_tfidf",
         "pairs_monge_elkan",
+        "cosine_allpairs",
     }
 )
 

@@ -37,7 +37,7 @@ def test_rows_only_queries_register_last():
         f"gate prefix must be exactly the 50 standalone oracle-backed "
         f"queries, got {len(standalone)}"
     )
-    assert len(oracle_backed) == 78
+    assert len(oracle_backed) == 79
     # r6: +image_near_dup, +media_stream_info, +video_frame_samples,
     # +dsir_resample_production, +curation_incremental (all rows-only);
     # +lm_perplexity (gated, slot freed by demoting tfidf_top_terms to
@@ -64,7 +64,9 @@ def test_rows_only_queries_register_last():
     # late r7: +pairs_soft_tfidf (hash-exact deferred: Cohen et al.
     # hybrid comparator) and +pairs_monge_elkan (hash-exact deferred:
     # the 1996 mean-best-match comparator) → 93 = 50 + 19 + 9 + 15
-    assert len(names) == 93
+    # late r7: +cosine_allpairs (hash-exact deferred: exact sparse-cosine
+    # all-pairs join vs brute-force oracle) → 94 = 50 + 20 + 9 + 15
+    assert len(names) == 94
     # every standalone entry sits inside the suspected 50-row gate window
     assert names[:50] == standalone
     assert "dsir_select" in names[:50] and "ccnet_buckets" in names[:50]
@@ -76,8 +78,9 @@ def test_rows_only_queries_register_last():
         "fellegi_sunter_tf", "cluster_metrics", "bpe_decode_roundtrip",
         "one_to_one_match", "canopy_blocking", "phonetic_blocks",
         "ssjoin_jaccard", "pairs_soft_tfidf", "pairs_monge_elkan",
+        "cosine_allpairs",
     }
-    assert set(names[50:69]) == Q._DEFERRED_QUERIES
+    assert set(names[50:70]) == Q._DEFERRED_QUERIES
     # and every covered entry's consumer is itself gated
     consumers = {
         "char_shingles": "normalize_tokenize",  # shingle CTE chain root

@@ -183,3 +183,73 @@ def test_incremental_similarity_join_equals_batch(spark, tmp_path):
     merged = incr.run_incremental(part_b, "base")
     got = sorted((r.record_id, r.cluster_id) for r in merged.collect())
     assert got == full_rows
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs cosine join
+# ---------------------------------------------------------------------------
+
+
+def cos_brute(vecs: dict[int, dict[str, float]], t: float):
+    import math
+
+    out = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        na = math.sqrt(sum(x * x for x in va.values()))
+        nb = math.sqrt(sum(x * x for x in vb.values()))
+        if na == 0 or nb == 0:
+            continue
+        dot = sum(va[k] * vb.get(k, 0.0) for k in va) / (na * nb)
+        if dot >= t:
+            out[(a, b)] = round(dot, 6)
+    return out
+
+
+def _run_cos(spark, vecs, t):
+    from dig_entity_resolution_spark.operators.ssjoin import cosine_ssjoin
+
+    rows = [(i, k, w) for i, v in vecs.items() for k, w in v.items()]
+    df = spark.createDataFrame(
+        rows, "record_id long, term string, weight double"
+    )
+    got = cosine_ssjoin(df, t).collect()
+    return {(r.id1, r.id2): r.cosine for r in got}
+
+
+@pytest.mark.parametrize("seed,t", [(0, 0.8), (1, 0.5), (2, 0.95)])
+def test_cosine_matches_brute_force_random(spark, seed, t):
+    rng = random.Random(seed)
+    vocab = [f"d{i}" for i in range(25)]
+    vecs = {
+        i: {k: rng.uniform(0.1, 3.0)
+            for k in rng.sample(vocab, rng.randint(1, 10))}
+        for i in range(60)
+    }
+    assert _run_cos(spark, vecs, t) == cos_brute(vecs, t)
+
+
+def test_cosine_negative_weights_still_complete(spark):
+    """The Cauchy-Schwarz bound is sign-agnostic; completeness must hold
+    with mixed-sign weights too."""
+    rng = random.Random(5)
+    vocab = [f"d{i}" for i in range(15)]
+    vecs = {
+        i: {k: rng.uniform(-2.0, 3.0)
+            for k in rng.sample(vocab, rng.randint(1, 8))}
+        for i in range(40)
+    }
+    t = 0.6
+    assert _run_cos(spark, vecs, t) == cos_brute(vecs, t)
+
+
+def test_cosine_identical_vectors_and_zero_norm(spark):
+    vecs = {1: {"a": 2.0, "b": 1.0}, 2: {"a": 4.0, "b": 2.0},
+            3: {"c": 0.0}, 4: {"c": 0.0}}
+    got = _run_cos(spark, vecs, 0.9)
+    assert got == {(1, 2): 1.0}  # colinear → cos 1; zero-norm never pairs
+
+
+def test_cosine_orthogonal_never_pair(spark):
+    vecs = {1: {"a": 1.0}, 2: {"b": 1.0}}
+    assert _run_cos(spark, vecs, 0.1) == {}

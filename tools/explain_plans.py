@@ -268,6 +268,12 @@ CHECKS = {
         "must": ["ArrowEvalPython"],
         "must_not": ["CartesianProduct", "BatchEvalPython"],
     },
+    "cosine_allpairs": {
+        # late r7: residual-norm prefix join + map_zip_with verify —
+        # window running sums, native map ops, zero Python
+        "must": ["Window"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    },
 }
 
 
