@@ -253,3 +253,57 @@ def test_cosine_identical_vectors_and_zero_norm(spark):
 def test_cosine_orthogonal_never_pair(spark):
     vecs = {1: {"a": 1.0}, 2: {"b": 1.0}}
     assert _run_cos(spark, vecs, 0.1) == {}
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (adversarial set shapes)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+        min_size=2,
+        max_size=14,
+    ),
+    t=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+def test_jaccard_property_matches_brute_force(spark, data, t):
+    """Tiny alphabet + tiny sets: maximal overlap density, every boundary
+    (identical sets, singletons, empties, subset chains) reachable."""
+    sets = {i: set(s) for i, s in enumerate(data)}
+    assert _run(spark, sets, t) == brute_force(sets, t)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.dictionaries(
+            st.sampled_from("abcde"),
+            st.floats(
+                min_value=-2.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([0.3, 0.8]),
+)
+def test_cosine_property_matches_brute_force(spark, data, t):
+    vecs = {i: v for i, v in enumerate(data)}
+    assert _run_cos(spark, vecs, t) == cos_brute(vecs, t)
