@@ -80,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
         "sorted_neighborhood_pairs docstring)",
     )
     p.add_argument(
+        "--ssjoin-t", type=float, default=0.5,
+        help="similarity_join strategy: exact shingle-Jaccard threshold",
+    )
+    p.add_argument(
+        "--ssjoin-shingle-k", type=int, default=5,
+        help="similarity_join strategy: char-shingle width",
+    )
+    p.add_argument(
+        "--phonetic-encoders", default="soundex,nysiis",
+        help="phonetic strategy: comma list from {soundex, nysiis}",
+    )
+    p.add_argument(
         "--scorer", default="blend", choices=("blend", "fellegi_sunter"),
         help="pair scorer: the weighted feature blend (default) or the "
         "EM-fitted Fellegi-Sunter model (operators/fellegi_sunter.py; "
@@ -100,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
         n_salts=args.n_salts,
         sn_window=args.sn_window,
         sn_bucket_chars=args.sn_bucket_chars,
+        ssjoin_t=args.ssjoin_t,
+        ssjoin_shingle_k=args.ssjoin_shingle_k,
+        phonetic_encoders=tuple(
+            s.strip() for s in args.phonetic_encoders.split(",") if s.strip()
+        ),
         use_extractor=args.use_extractor,
         id_bits=args.id_bits,
         check_id_collisions=args.check_id_collisions,
