@@ -2105,7 +2105,14 @@ def q_minhash_dedup_production(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     return minhash_lsh_dup_pairs(
-        d, "doc_id", "text", jaccard_threshold=0.3, hash_fn="xxhash64"
+        d,
+        "doc_id",
+        "text",
+        jaccard_threshold=0.3,
+        hash_fn="xxhash64",
+        # capped buckets → sparse candidates: the dictionary-encode verify
+        # costs more than it saves here (r8 note in minhash_lsh_dup_pairs)
+        encode_verify=False,
     )
 
 
