@@ -111,7 +111,12 @@ def phonetic_token_blocks(
             F.explode(F.array_distinct("tokens")).alias("tok"),
         )
         .filter(
-            (F.length("tok") >= min_token_len) & ~F.col("tok").rlike("[0-9]")
+            # letters-only, not merely digit-free (ADVICE r7): a token with
+            # no letters at all would encode to '' and the namespaced key
+            # 'soundex:' is then non-empty, defeating the callers-drop-
+            # empty-keys contract with one mega-block. Unreachable with
+            # this repo's [a-z0-9]+ tokenizer, but the function is public.
+            (F.length("tok") >= min_token_len) & F.col("tok").rlike("^[a-z]+$")
         )
     )
     parts = [

@@ -89,6 +89,19 @@ def test_boundary_threshold_inclusive(spark):
     assert _run(spark, sets, 0.5001) == {}
 
 
+def test_prefix_length_float_boundary(spark):
+    """ADVICE r7 (high): floor((1-t)*sz) under 0.8/0.9 thresholds sits one
+    short of the exact sz - ceil(t*sz) for sz a multiple of 5 (resp. 10)
+    because 1-t has no exact float representation — the short prefix
+    silently dropped qualifying pairs. x of size 5 vs x minus its rarest
+    token has J exactly 0.8 and MUST pair at t=0.8 (and the sz=10 twin at
+    t=0.9)."""
+    sets = {1: {"a", "b", "c", "d", "e"}, 2: {"b", "c", "d", "e"}}
+    assert _run(spark, sets, 0.8) == {(1, 2): 0.8}
+    sets10 = {1: {f"t{i}" for i in range(10)}, 2: {f"t{i}" for i in range(1, 10)}}
+    assert _run(spark, sets10, 0.9) == {(1, 2): 0.9}
+
+
 def test_invalid_threshold_raises(spark):
     df = spark.createDataFrame([(1, ["a"])], "record_id long, tokens array<string>")
     for bad in (0.0, -0.1, 1.5):
