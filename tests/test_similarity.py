@@ -194,3 +194,69 @@ def test_native_similarities_on_spark(spark):
         "select jaro_winkler_similarity('kitten','sitting')"
     ).fetchone()[0]
     assert row.jw == pytest.approx(expect_jw, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r8 bit-parallel kernels: exact-equivalence pins vs their reference twins
+# ---------------------------------------------------------------------------
+
+
+def _rand_cases(seed: int, n: int, alph: str, lo: int, hi: int):
+    rng = random.Random(seed)
+    return [
+        (
+            "".join(rng.choice(alph) for _ in range(rng.randint(lo, hi))),
+            "".join(rng.choice(alph) for _ in range(rng.randint(lo, hi))),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_levenshtein_batch_matches_reference_dp():
+    """Myers bit-parallel distances == the classic cell DP, including
+    multi-block (>64 and >128 char) patterns, empties, and unicode."""
+    from dig_entity_resolution_spark.functions.similarity import (
+        levenshtein_batch,
+    )
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[len(b)]
+
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("héllo wörld", "hello world"), ("日本語テキスト", "日本語のテキスト")]
+    cases += _rand_cases(1, 120, "ab", 0, 12)           # dense overlap
+    cases += _rand_cases(2, 60, "abcdefgh 0123", 40, 200)  # multi-block
+    got = levenshtein_batch(
+        pd.Series([c[0] for c in cases]), pd.Series([c[1] for c in cases])
+    )
+    want = [ref(a, b) for a, b in cases]
+    assert got.tolist() == want
+
+
+def test_jw_bit_parallel_matches_matrix_reference():
+    """The bit-parallel greedy matcher must reproduce the matrix-scan
+    matcher bit-for-bit (same lowest-unused-in-window semantics)."""
+    from dig_entity_resolution_spark.functions.similarity import (
+        _jw_chunk,
+        _jw_chunk_matrix,
+    )
+
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("martha", "marhta"),
+             ("dixon", "dicksonx"), ("𝄞music", "music𝄞")]
+    cases += _rand_cases(3, 150, "ab", 0, 12)
+    cases += _rand_cases(4, 80, "abcdefghij 01", 40, 200)
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    new = _jw_chunk(a, b)
+    old = _jw_chunk_matrix(a, b)
+    assert (new == old).all()
