@@ -145,17 +145,22 @@ def connected_components(
     for rnd in range(start_round, max_rounds):
         sym = _symmetrize(cur)
         ls = _large_star(sym)
-        # small-star operates on edges oriented high→low: flip canonical
-        ss_in = ls.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        ).dropDuplicates(["src", "dst"])
-        ss = _small_star(ss_in)
+        # small-star operates on edges oriented high→low. _large_star
+        # emits (v, m) with m = min(Γ(u) ∪ {u}) ≤ u < v, so its rows are
+        # ALREADY high→low and already deduplicated — the flip is an
+        # identity and a re-dedup here was one pure-overhead Exchange per
+        # round (r8; removed, same rows reach _small_star).
+        ss = _small_star(ls)
+        # _small_star emits (v, m) with m ≤ v and deduplicates
+        # internally, so after the canonical least/greatest flip the rows
+        # are already distinct — a second dropDuplicates was another
+        # redundant Exchange per round (r8).
         cur = _cut(
             f"{stage_prefix}_round{rnd}",
             ss.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
-            ).dropDuplicates(["src", "dst"]),
+            ),
         )
         fp = _fingerprint(cur)
         last_round = rnd

@@ -221,10 +221,19 @@ class CurationPipeline:
         # content hash (cheap groupBy) before shingling pays for the
         # near-identical ones
         groups = exact_dup_groups(kept, "doc_id", "text")
-        survivors = kept.join(
-            groups.filter(~F.col("is_canonical")).select("doc_id"),
-            "doc_id",
-            "left_anti",
+        # _persist (r8): near_dup_corpus consumes its input in three plan
+        # branches (shingle/normalize, the drop-ids anti-join, the canon
+        # hydration) — unpersisted, the exact-dedup groupBy+anti-join
+        # subtree re-executes per branch (measured ~4s of the 14s sf0.1
+        # dedup stage; grows with the corpus at 10x).
+        from ..operators.dedup import _persist
+
+        survivors = _persist(
+            kept.join(
+                groups.filter(~F.col("is_canonical")).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
         )
         return near_dup_corpus(
             survivors,
