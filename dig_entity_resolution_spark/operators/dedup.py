@@ -100,10 +100,19 @@ def minhash_lsh_dup_pairs(
     # normalization once PER SHINGLE POSITION (measured 60x slower), and a
     # withColumn projection is NOT a reliable barrier. A cache IS: persist
     # (doc_id, norm) first, then shingle from the cached column.
+    # r8: repartition the NARROW normalized projection to the session's
+    # parallelism before the CPU-heavy shingle/signature expressions. AQE
+    # coalesces upstream join/checkpoint outputs by BYTES (a 50k-doc
+    # corpus is one ~64MB partition), which is blind to the per-row CPU
+    # of hashing ~300 shingles × num_perm — measured 27s single-core vs
+    # 4.4s spread at the 10x bench corpus. Same rule as score_pairs; at
+    # real scale the corpus dwarfs the advisory size and this is a no-op
+    # rebalance of narrow rows.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     normed = _persist(
         docs.select(
             F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
-        )
+        ).repartition(par)
     )
     base = _persist(
         normed.select("doc_id", char_shingles("_norm", shingle_k).alias("shingles"))
@@ -127,6 +136,16 @@ def minhash_lsh_dup_pairs(
         ),
     )
     buckets = _persist(buckets)
+    # r8: materialize the persisted intermediates EAGERLY, in dependency
+    # order. The final plan fans out into several branches over `base`
+    # and `buckets` (hot-key agg + both self-join sides + both verify
+    # hydrations); when the caches are still cold at execution time,
+    # concurrent stages race to fill them and each recomputes the
+    # num_perm-hash signature chain (measured 24-30s vs 21s at the 10x
+    # bench corpus; worst observed in-pipeline wall 76s). Two tiny count
+    # jobs serialize the cache fill once.
+    base.count()
+    buckets.count()
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -168,6 +187,7 @@ def minhash_lsh_dup_pairs(
                 F.count(F.lit(1)).alias("_sz"),
             )
         )
+        enc.count()  # same eager-fill rule: enc feeds both verify sides
         s1 = enc.select(
             F.col("doc_id").alias("id1"),
             F.col("_ish").alias("i1"),

@@ -122,10 +122,15 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     """(doc_id, shingles) — persisted normalization barrier first (the
     CollapseProject/notes-#16 rule: shingling from an unpersisted
     normalize re-runs the regex once per shingle position)."""
+    # r8: spread the narrow normalized rows to the session's parallelism
+    # before shingling/hashing — upstream AQE byte-coalescing otherwise
+    # leaves the CPU-heavy expressions on 1-2 cores (see the same note in
+    # dedup.minhash_lsh_dup_pairs; measured 27s -> 4.4s at 10x).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     normed = _persist(
         docs.select(
             F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
-        )
+        ).repartition(par)
     )
     return normed.select(
         "doc_id", char_shingles("_norm", k).alias("shingles")

@@ -173,17 +173,32 @@ def kmeans_fit(
     if not init:
         raise ValueError("kmeans_fit: input has no rows")
     k = min(k, len(init))
-    assign = assign_cells_arrow if method == "arrow" else assign_cells
     centroids = np.array([r.v for r in init], dtype=np.float64)
     dim = centroids.shape[1]
     for _ in range(iters):
-        assigned = assign(df, id_col, vec_col, centroids)
-        sums = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if method == "arrow":
+            # r8: fused assignment + per-task partial sums in ONE Arrow
+            # pass. The previous shape shuffled n×dim posexploded rows
+            # per iteration through a groupBy; partial accumulation
+            # inside the map task ships k×dim×tasks rows instead (the
+            # map-side-aggregation rule, guide §2.3 — at 10^9 vectors
+            # the per-iteration shuffle drops from n×dim rows to a few
+            # thousand). Distributed float sums were already
+            # order-nondeterministic in the last ulp, so the batch-local
+            # accumulation changes nothing the fit ever guaranteed.
+            sums = _assign_partial_sums_arrow(
+                df, id_col, vec_col, centroids
+            ).collect()
+        else:
+            assigned = assign_cells(df, id_col, vec_col, centroids)
+            sums = (
+                assigned.select(
+                    "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         new = centroids.copy()
         counts = np.zeros(k)
         acc = np.zeros((k, dim))
@@ -196,6 +211,57 @@ def kmeans_fit(
             break
         centroids = new
     return centroids
+
+
+def _assign_partial_sums_arrow(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(cell, pos, s, n): per-cell per-dimension sums and member counts of
+    one Lloyd assignment round, accumulated inside each map task (one
+    BLAS matmul per Arrow batch, k×dim rows emitted per task) and folded
+    by a tiny groupBy. Assignment semantics identical to
+    assign_cells_arrow at nprobe=1 (argmax with first-wins ties = lowest
+    cell id)."""
+    import pandas as pd
+
+    k, dim = centroids.shape
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def run(batches):
+        acc = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+            sims = vn @ c_norm.T
+            # stable argsort [:,0] and argmax agree: first (lowest) cell
+            # among ties wins
+            cell = np.argmax(sims, axis=1)
+            np.add.at(acc, cell, v)
+            np.add.at(cnt, cell, 1)
+        hit = np.nonzero(cnt)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(hit, dim).astype(np.int32),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(hit)),
+                    "s": acc[hit].ravel(),
+                    "n": np.repeat(cnt[hit], dim),
+                }
+            )
+
+    parts = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+        run, "cell int, pos int, s double, n long"
+    )
+    return parts.groupBy("cell", "pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
 
 
 def ivf_topk(
