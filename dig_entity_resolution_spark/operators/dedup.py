@@ -75,6 +75,7 @@ def minhash_lsh_dup_pairs(
     hash_fn: str = "xxhash64",
     max_bucket: int = 200,
     encode_verify: bool = True,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, verified by true shingle Jaccard.
 
@@ -87,6 +88,12 @@ def minhash_lsh_dup_pairs(
     default; callers whose config makes candidates sparse (tight
     max_bucket + high threshold) can turn it off to skip the dictionary
     build, which costs more than it saves when the verify side is small.
+
+    rebalance: repartition the normalized projection to the session
+    parallelism before the CPU-heavy shingle/signature expressions (see
+    the inline note — AQE byte-coalescing starves them otherwise).
+    Callers whose input is already spread (e.g. repartitioned right
+    after a scan) pass False to skip the redundant shuffle.
     """
     rows = num_perm // bands
     # persist: `base` feeds both bucketing and pair verification, and
@@ -108,12 +115,13 @@ def minhash_lsh_dup_pairs(
     # 4.4s spread at the 10x bench corpus. Same rule as score_pairs; at
     # real scale the corpus dwarfs the advisory size and this is a no-op
     # rebalance of narrow rows.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    normed = _persist(
-        docs.select(
-            F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
-        ).repartition(par)
+    norm_proj = docs.select(
+        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("_norm")
     )
+    if rebalance:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        norm_proj = norm_proj.repartition(par)
+    normed = _persist(norm_proj)
     base = _persist(
         normed.select("doc_id", char_shingles("_norm", shingle_k).alias("shingles"))
         .filter(F.size("shingles") > 0)
@@ -538,6 +546,7 @@ def near_dup_corpus(
     hash_fn: str = "xxhash64",
     max_bucket: int = 200,
     encode_verify: bool = False,
+    rebalance: bool = True,
 ) -> DataFrame:
     """The PRODUCTION dedup end product: the kept (deduplicated) corpus.
 
@@ -573,6 +582,7 @@ def near_dup_corpus(
         hash_fn=hash_fn,
         max_bucket=max_bucket,
         encode_verify=encode_verify,
+        rebalance=rebalance,
     )
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     assign = connected_components(edges).select(

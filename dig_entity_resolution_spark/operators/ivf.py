@@ -289,7 +289,7 @@ def ivf_topk(
         q = assign_cells_arrow(queries, id_col, vec_col, centroids, nprobe).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
         )
-        return _rank_candidates(q, c, k)
+        return _rank_candidates(q, c, k, arrow_cos=True)
     c = assign_cells(corpus, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
@@ -301,12 +301,23 @@ def ivf_topk(
     return _rank_candidates(q, c, k)
 
 
-def _rank_candidates(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
-    """Shared tail: equi-join probes×cells, exact cosine, window top-k."""
+def _rank_candidates(
+    q: DataFrame, c: DataFrame, k: int, arrow_cos: bool = False
+) -> DataFrame:
+    """Shared tail: equi-join probes×cells, exact cosine, window top-k.
+
+    arrow_cos=True scores candidates with the batched numpy kernel (the
+    production/arrow path — same contract as the arrow assignment:
+    identical ordering semantics, last-ulp float latitude vs a
+    sequential fold; measured 5.5s -> ~1s over the interpreted zip_with
+    fold at 181k candidates). The native fold stays the oracle twin."""
+    from ..functions.similarity import cosine as cosine_arrow
+
+    cos_fn = cosine_arrow if arrow_cos else cosine_native
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_native("qv", "cv").alias("cos"))
+        .select("query_id", "neighbor_id", cos_fn("qv", "cv").alias("cos"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

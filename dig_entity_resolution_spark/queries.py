@@ -618,6 +618,9 @@ def q_minhash_lsh_dup_pairs(spark, sf_dir):
         jaccard_threshold=0.0,
         hash_fn="md5",
         max_bucket=1 << 40,
+        # input is repartitioned right after the scan — the operator's
+        # anti-starvation rebalance would be a redundant shuffle (r8)
+        rebalance=False,
     )
     return out.select("id1", "id2", F.round("jaccard", R6).alias("jaccard"))
 
@@ -2111,8 +2114,10 @@ def q_minhash_dedup_production(spark, sf_dir):
         jaccard_threshold=0.3,
         hash_fn="xxhash64",
         # capped buckets → sparse candidates: the dictionary-encode verify
-        # costs more than it saves here (r8 note in minhash_lsh_dup_pairs)
+        # costs more than it saves here (r8 note in minhash_lsh_dup_pairs);
+        # input already repartitioned → skip the operator rebalance
         encode_verify=False,
+        rebalance=False,
     )
 
 
@@ -2128,7 +2133,12 @@ def q_near_dup_corpus(spark, sf_dir):
 
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     return near_dup_corpus(
-        d, "doc_id", "text", jaccard_threshold=0.5, hash_fn="xxhash64"
+        d,
+        "doc_id",
+        "text",
+        jaccard_threshold=0.5,
+        hash_fn="xxhash64",
+        rebalance=False,  # input already repartitioned (r8)
     )
 
 
