@@ -176,8 +176,6 @@ def soft_tfidf_scores(
     stream before any Python; for θ ≤ 0.8 the bound is ≤ 0 (no-op).
     Everything else is native joins/windows; JW is the Arrow-batched
     numpy kernel (bit-exact vs DuckDB's jaro_winkler_similarity, D3)."""
-    from pyspark.sql import Window
-
     tfidf = tfidf_terms(records)
     norms = tfidf_norms(tfidf)
     v = (
@@ -221,16 +219,28 @@ def soft_tfidf_scores(
         .filter(F.col("jw") > theta)
     )
     wp = stream.join(sims, ["t1", "t2"])
-    best = wp.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("id1", "id2", "t1").orderBy(
-                F.col("jw").desc(), F.col("t2").asc()
+    # argmax via min(struct(-jw, t2, ...)) instead of a row_number window
+    # (r8): selects the identical row per (id1, id2, t1) — max jw, ties
+    # to the ascending t2 ((id1,id2,t1,t2) is unique in the stream, so
+    # the tiebreak is total) — while a hash aggregate with map-side
+    # partial combine replaces a full sort pass over the word-pair
+    # stream. -jw is an exact IEEE negation; the final per-pair sum was
+    # already an unordered groupBy over the same selected rows.
+    best = wp.groupBy("id1", "id2", "t1").agg(
+        F.min(
+            F.struct(
+                (-F.col("jw")).alias("njw"),
+                F.col("t2").alias("t2"),
+                F.col("v1").alias("v1"),
+                F.col("v2").alias("v2"),
+                F.col("jw").alias("jw"),
             )
-        ),
-    ).filter(F.col("rn") == 1)
+        ).alias("b")
+    )
     scores = best.groupBy("id1", "id2").agg(
-        F.sum(F.col("v1") * F.col("v2") * F.col("jw")).alias(sim_col)
+        F.sum(
+            F.col("b.v1") * F.col("b.v2") * F.col("b.jw")
+        ).alias(sim_col)
     )
     return pairs.select("id1", "id2").join(scores, ["id1", "id2"], "left").select(
         "id1", "id2", F.coalesce(sim_col, F.lit(0.0)).alias(sim_col)
