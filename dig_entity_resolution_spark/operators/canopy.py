@@ -92,7 +92,10 @@ def canopy_centers(
             .join(remaining.withColumnRenamed("n", "b"), "b")
             .filter(F.col("a") < F.col("b"))
         )
-        blocked = live.select(F.col("b").alias("n")).distinct()
+        # no distinct on the blocked set (r8): left_anti semantics are
+        # unaffected by duplicate keys on the right side, and the dedup
+        # was one pure-overhead Exchange+aggregate per MIS round
+        blocked = live.select(F.col("b").alias("n"))
         cur = remaining.join(blocked, "n", "left_anti").localCheckpoint(eager=True)
         centers.append(cur)
         # the new centers leave (picked), their tight neighbors leave
