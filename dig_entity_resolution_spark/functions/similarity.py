@@ -144,15 +144,28 @@ def _lev_chunk(a: pd.Series, b: pd.Series) -> np.ndarray:
     V = len(vocab)
     peq = np.zeros((n, V + 1, W), dtype=np.uint64)
     ra, ca_ = np.nonzero(A)
+    # code → vocab-index LUT (same trick as the JW matcher: searchsorted
+    # over the packed matrices measured ~13% of the combined kernels)
+    vmax = int(vocab[-1]) if V else 0
+    use_lut = V and vmax <= (1 << 20)
+    if use_lut:
+        lut = np.full(vmax + 1, V, dtype=np.int64)
+        lut[vocab.astype(np.int64)] = np.arange(V)
     if len(ra):
-        vidx = np.searchsorted(vocab, A[ra, ca_])
+        if use_lut:
+            vidx = lut[A[ra, ca_]]
+        else:
+            vidx = np.searchsorted(vocab, A[ra, ca_])
         np.bitwise_or.at(
             peq, (ra, vidx, ca_ >> 6), _U1 << (ca_ & 63).astype(np.uint64)
         )
     # map text codepoints into the pattern vocabulary once
-    pos = np.searchsorted(vocab, B)
-    pos[pos == V] = V - 1 if V else 0
-    bidx = np.where((B != 0) & (V > 0) & (vocab[pos] == B), pos, V)
+    if use_lut:
+        bidx = np.where(B <= vmax, lut[np.minimum(B, vmax)], V)
+    else:
+        pos = np.searchsorted(vocab, B)
+        pos[pos == V] = V - 1 if V else 0
+        bidx = np.where((B != 0) & (V > 0) & (vocab[pos] == B), pos, V)
     # Myers state: VP all-ones (bits above the pattern length are benign —
     # carries only travel low→high, and the score bit sits at la-1)
     VP = np.full((n, W), ~np.uint64(0), dtype=np.uint64)
