@@ -45,6 +45,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # floor on scan parallelism (r8, guide §6): checkpointed stage
+        # tables are small multi-file parquet locally, and the default
+        # openCost packing hands a CPU-heavy consumer (LM scoring,
+        # classifier, shingling) a handful of splits on a 32-core
+        # session. Scale-adaptive by construction — derived from the
+        # session's parallelism, not a constant; at real scale splits
+        # already exceed it and it is a no-op.
+        .config(
+            "spark.sql.files.minPartitionNum", str(shuffle_partitions)
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
