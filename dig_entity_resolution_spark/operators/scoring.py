@@ -112,6 +112,14 @@ def pair_tfidf_cosine(pairs: DataFrame, tfidf: DataFrame) -> DataFrame:
     dot(id1,id2) = Σ_term w1·w2 — computed by joining both sides' TF-IDF
     rows on term; pairs sharing no term get cosine 0 (left join + coalesce).
     """
+    # _persist (r8): `tfidf` feeds three branches (both term sides + the
+    # norms agg) and `pairs` two (the dot join + the final left join) —
+    # unpersisted, each branch re-derives the upstream explode/agg and
+    # blocking-join chains.
+    from .dedup import _persist
+
+    tfidf = _persist(tfidf)
+    pairs = _persist(pairs)
     t1 = tfidf.select(
         F.col("record_id").alias("id1"),
         "term",

@@ -141,9 +141,15 @@ pairs AS (
 """
 
 
-def _token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Spark-side candidate pairs: bigram blocking, key size 2..20."""
-    recs = _records(spark, sf_dir)
+def _token_pairs(
+    spark: SparkSession, sf_dir: str, recs: DataFrame | None = None
+) -> DataFrame:
+    """Shared Spark-side candidate pairs: bigram blocking, key size 2..20.
+    `recs` lets callers that already materialized the records projection
+    (e.g. _pairs_with_text's persist) share it instead of re-deriving the
+    normalize/tokenize chain (r8)."""
+    if recs is None:
+        recs = _records(spark, sf_dir)
     toks = recs.filter(F.size("tokens") >= 2).select(
         "record_id", F.explode(word_ngrams("tokens", 2)).alias("tok")
     )
@@ -165,8 +171,16 @@ def _token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    recs = _records(spark, sf_dir)
-    pairs = _token_pairs(spark, sf_dir)
+    # _persist (r8): the records projection feeds the bigram blocking AND
+    # both hydration sides — unpersisted, the normalize/tokenize chain
+    # re-derived three times per query (and the FS queries build this
+    # whole frame twice more for fit + score).
+    from .operators.dedup import _persist
+
+    recs = _persist(
+        _records(spark, sf_dir).select("record_id", "norm_text", "tokens")
+    )
+    pairs = _token_pairs(spark, sf_dir, recs)
     r1 = recs.select(
         F.col("record_id").alias("id1"),
         F.col("norm_text").alias("t1"),
@@ -4010,11 +4024,12 @@ def q_fellegi_sunter(spark, sf_dir):
     )
 
     comps = default_comparisons()
+    pt = _pairs_with_text(spark, sf_dir)  # one persisted frame: fit+score
     model = _fs_model()
     if model is None:
-        model = fit_fs_spark(_pairs_with_text(spark, sf_dir), comps)
+        model = fit_fs_spark(pt, comps)
     up, lo = decision_thresholds(model, mu=_FS_MU, lam=_FS_LAM)
-    scored = score_fs(_pairs_with_text(spark, sf_dir), comps, model)
+    scored = score_fs(pt, comps, model)
     return classify_fs(scored, up, lo).select(
         "id1",
         "id2",
@@ -4082,10 +4097,11 @@ def q_fellegi_sunter_tf(spark, sf_dir):
     )
 
     comps = default_comparisons()
+    pt = _pairs_with_text(spark, sf_dir)  # one persisted frame: fit+score
     model = _fs_model()
     if model is None:
-        model = fit_fs_spark(_pairs_with_text(spark, sf_dir), comps)
-    scored = score_fs(_pairs_with_text(spark, sf_dir), comps, model)
+        model = fit_fs_spark(pt, comps)
+    scored = score_fs(pt, comps, model)
     out = tf_adjust(scored, _records(spark, sf_dir), model)
     return out.select(
         "id1",
