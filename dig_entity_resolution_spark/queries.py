@@ -1799,9 +1799,16 @@ _CC_SHARED_GRAMS = 2
     FROM records r LEFT JOIN assign a USING (record_id)""",
 )
 def q_connected_components(spark, sf_dir):
+    from .operators.dedup import _persist
+
     recs = _records(spark, sf_dir)
-    toks = recs.filter(F.size("tokens") >= 2).select(
-        "record_id", F.explode(word_ngrams("tokens", 2)).alias("tok")
+    # _persist (r8): the bigram stream feeds the key-frequency agg AND
+    # both self-join sides — unpersisted, the tokenize+ngram chain
+    # re-derived three times
+    toks = _persist(
+        recs.filter(F.size("tokens") >= 2).select(
+            "record_id", F.explode(word_ngrams("tokens", 2)).alias("tok")
+        )
     )
     keys = (
         toks.groupBy("tok")
