@@ -158,9 +158,13 @@ def dsir_score_py(text: str, wt: DsirWeights) -> tuple[int, int]:
 
 
 def _weights_lit(wt: DsirWeights) -> Column:
-    # one-parse literal (notes #46): F.lit(list) would round-trip py4j
-    # per element — seconds of build time at dim=4096
-    return F.expr("array(" + ",".join(f"{v}L" for v in wt.w) + ")")
+    # one-NODE literal (notes #46 + r8): F.lit(list) would round-trip
+    # py4j per element, and a parsed array(...) leaves dim=4096 Literal
+    # children for every plan's analyzer walk; from_json of one string
+    # constant-folds to the same array literal (see lm._array_lit)
+    return F.from_json(
+        F.lit("[" + ",".join(str(v) for v in wt.w) + "]"), "array<bigint>"
+    )
 
 
 def dsir_logratio_micro(text: Column | str, wt: DsirWeights) -> Column:

@@ -257,12 +257,19 @@ def score_text_py(text: str, lm: StupidBackoffLM) -> tuple[int, int]:
 
 
 def _array_lit(values: tuple[int, ...]) -> Column:
-    """array<long> literal as ONE parsed expression. `F.lit(list)` builds
-    the array element-by-element over py4j — 14.8s for the 32k trigram
-    table, dominating the whole query build; a single `F.expr` parse of
-    the same array is 0.3s (measured r6). Constant-folded once by
-    Catalyst either way."""
-    return F.expr("array(" + ",".join(f"{v}L" for v in values) + ")")
+    """array<long> literal as ONE AST NODE. `F.lit(list)` builds the
+    array element-by-element over py4j — 14.8s for the 32k trigram
+    table (r6); a parsed `F.expr("array(...)")` builds fast but leaves
+    a CreateArray with 32k Literal children that EVERY new plan's
+    analyzer/optimizer walk re-visits — ~0.5-0.7s per plan at dim 32768,
+    paid by each incremental-curation batch and each LM query (r8,
+    guide §1.2/§5). `from_json` of one string literal is a 2-node tree
+    that ConstantFolding evaluates to the same array literal before
+    execution (verified: optimized plan shows the materialized array;
+    element values bit-identical)."""
+    return F.from_json(
+        F.lit("[" + ",".join(str(v) for v in values) + "]"), "array<bigint>"
+    )
 
 
 def _lookup(arr_lit: Column, key: Column, dim: int) -> Column:

@@ -197,8 +197,10 @@ def _quality_logit_micro(
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
     grams = F.concat(toks, bigrams)
-    wlit = F.expr(
-        "array(" + ",".join(f"{w}L" for w in weights_micro) + ")"
+    # one-NODE literal: constant-folds to the same array (lm._array_lit)
+    wlit = F.from_json(
+        F.lit("[" + ",".join(str(w) for w in weights_micro) + "]"),
+        "array<bigint>",
     )
     gram_sum = F.aggregate(
         grams,
