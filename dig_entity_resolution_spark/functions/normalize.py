@@ -53,6 +53,35 @@ def char_shingles(norm_col: Column | str, k: int = 5) -> Column:
     return F.array_distinct(shingles)
 
 
+def shingle_pack(shingles_col: Column | str, k: int) -> Column:
+    """Pack each NORMALIZED char k-shingle into one long — an exact,
+    dictionary-free injective encoding (r8).
+
+    value(s) = Σ_{i<len(s)} ascii(s[i]) · 128^i. Normalized text is
+    [a-z0-9 ]* by construction (normalize_text), so every code is in
+    {32, 48-57, 97-122} ⊂ [32, 127]: base 128 never carries between
+    positions, and injectivity holds ACROSS lengths too (a length-L
+    value is ≥ 32·128^(L-1), strictly above the length-(L-1) maximum
+    Σ 127·128^i = 128^(L-1) − 1; absent positions read as ascii('') = 0).
+    Max value < 128^k, so k ≤ 8 fits a long with no ANSI overflow.
+    Callers must guard k ≤ 8 and input alphabet; |A∩B| and |A∪B| of
+    distinct shingle arrays are preserved exactly under any injection.
+    """
+    if k > 8:
+        raise ValueError(f"shingle_pack requires k <= 8, got {k}")
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+
+    def pack_one(s: Column) -> Column:
+        v: Column = F.ascii(F.substring(s, 1, 1)).cast("long")
+        for i in range(1, k):
+            v = v + F.ascii(F.substring(s, i + 1, 1)).cast("long") * F.lit(
+                128 ** i
+            ).cast("long")
+        return v
+
+    return F.transform(c, pack_one)
+
+
 def word_ngrams(tokens_col: Column | str, n: int = 2, sep: str = " ") -> Column:
     """Distinct word n-grams from a token array. (B5 variant)"""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col

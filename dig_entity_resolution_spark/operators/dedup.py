@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 from ..functions.minhash import hamming64, lsh_band_keys, minhash_signature, simhash_table
-from ..functions.normalize import char_shingles, normalize_text, tokenize
+from ..functions.normalize import (
+    char_shingles,
+    normalize_text,
+    shingle_pack,
+    tokenize,
+)
 from ..functions.similarity import cosine_native, token_jaccard
 
 # Every intermediate these operators persist() is registered here so
@@ -82,12 +87,13 @@ def minhash_lsh_dup_pairs(
     Returns (id1, id2, jaccard) with jaccard ≥ threshold. Buckets larger than
     max_bucket are suppressed (stop-key logic) before the self-join.
 
-    encode_verify: run the exact-Jaccard verify over dictionary-encoded
-    int arrays instead of the raw shingle strings (identical result — a
-    bijection preserves intersection counts; see the inline note). On by
+    encode_verify: run the exact-Jaccard verify over int-encoded shingle
+    arrays instead of the raw strings (identical result — an injection
+    preserves intersection counts; see the inline note). The encoding is
+    the arithmetic shingle_pack for k ≤ 8 (a projection, no extra
+    shuffle); k > 8 keeps the string verify (also exact). On by
     default; callers whose config makes candidates sparse (tight
-    max_bucket + high threshold) can turn it off to skip the dictionary
-    build, which costs more than it saves when the verify side is small.
+    max_bucket + high threshold) can turn it off.
 
     rebalance: repartition the normalized projection to the session
     parallelism before the CPU-heavy shingle/signature expressions (see
@@ -172,27 +178,22 @@ def minhash_lsh_dup_pairs(
     # r8 verify optimization: intersecting 5-char STRING arrays per
     # candidate pair dominated the wall (measured 20.5s of a 23s sf0.1
     # query at the uncapped oracle config's 1.1M candidates). Re-encode
-    # each record's distinct shingle set as ints through an exact
-    # dictionary — a bijection, so |A∩B| (and with distinct arrays
-    # |A∪B| = sz1+sz2−|A∩B|) is unchanged while array_intersect stops
-    # hashing strings (measured 5.9s). The dictionary is bounded by the
-    # shingle space (≤ |alphabet|^k, e.g. 37^5 ≈ 69M for k=5) — a token
-    # dictionary, orders of magnitude smaller than the corpus, same
-    # scale argument as the ssjoin df table; AQE broadcasts it when it
-    # fits. row_number needs a total order: fine at dictionary size
-    # (single window over distinct keys); swap for a partitioned id
-    # assignment if the dictionary ever outgrows one task's sort.
-    if encode_verify:
-        tok = base.select("doc_id", F.explode("shingles").alias("_sh"))
-        sdict = tok.select("_sh").distinct().select(
-            "_sh", F.row_number().over(Window.orderBy("_sh")).alias("_sid")
-        )
+    # each record's distinct shingle set as ints — an injection, so
+    # |A∩B| (and with distinct arrays |A∪B| = sz1+sz2−|A∩B|) is
+    # unchanged while array_intersect stops hashing strings (dictionary
+    # form measured 5.9s). Late-r8: the encoding is now the arithmetic
+    # base-128 pack of the normalized shingle chars (shingle_pack — a
+    # per-row projection) instead of a distinct+row_number dictionary:
+    # provably injective on the normalize_text alphabet for k ≤ 8, and
+    # it deletes the dictionary's explode + join + collect_list
+    # re-aggregation (a full corpus-shingle shuffle) from the plan.
+    # Dictionary fallback for k > 8 (pack would overflow a long).
+    if encode_verify and shingle_k <= 8:
         enc = _persist(
-            tok.join(sdict, "_sh")
-            .groupBy("doc_id")
-            .agg(
-                F.collect_list("_sid").alias("_ish"),
-                F.count(F.lit(1)).alias("_sz"),
+            base.select(
+                "doc_id",
+                shingle_pack("shingles", shingle_k).alias("_ish"),
+                F.size("shingles").alias("_sz"),
             )
         )
         enc.count()  # same eager-fill rule: enc feeds both verify sides

@@ -2134,10 +2134,11 @@ def q_minhash_dedup_production(spark, sf_dir):
         "text",
         jaccard_threshold=0.3,
         hash_fn="xxhash64",
-        # capped buckets → sparse candidates: the dictionary-encode verify
-        # costs more than it saves here (r8 note in minhash_lsh_dup_pairs);
-        # input already repartitioned → skip the operator rebalance
-        encode_verify=False,
+        # encode verify back ON (late-r8): the arithmetic shingle_pack
+        # has no dictionary-build cost, so the int verify now wins even
+        # at this capped config's sparse candidates (A/B warm reps 2.98
+        # vs 2.69s at sf0.1; the r8 dictionary-encode loss is obsolete).
+        # Input already repartitioned → skip the operator rebalance.
         rebalance=False,
     )
 
