@@ -45,3 +45,46 @@ def test_word_ngrams(spark):
 def test_prefix_key(spark):
     df = spark.createDataFrame([("hello world",)], ["t"])
     assert df.select(prefix_key("t", 6).alias("p")).collect()[0].p == "hello "
+
+
+def test_shingle_pack_exact_values(spark):
+    # value(s) = sum ascii(s[i]) * 128^i over the normalized alphabet
+    import pytest
+
+    from dig_entity_resolution_spark.functions.normalize import shingle_pack
+
+    df = spark.createDataFrame([(["ab", "a", " ", "", "z9 0a"],)], ["sh"])
+    out = df.select(shingle_pack("sh", 5).alias("v")).collect()[0].v
+    a, b, z, nine, sp, zero = 97, 98, 122, 57, 32, 48
+    assert out == [
+        a + b * 128,
+        a,
+        sp,
+        0,
+        z + nine * 128 + sp * 128**2 + zero * 128**3 + a * 128**4,
+    ]
+    with pytest.raises(ValueError):
+        shingle_pack("sh", 9)
+
+
+def test_shingle_pack_injective_on_corpus_shingles(spark):
+    # the exactness contract of the encoded verifies: pack is a bijection
+    # on every distinct shingle the normalized alphabet can produce —
+    # checked here on all shingles of a real-ish normalized corpus,
+    # including the shorter-than-k whole-string shingles
+    from dig_entity_resolution_spark.functions.normalize import shingle_pack
+
+    rows = [
+        ("the quick brown fox jumps over the lazy dog 0123456789",),
+        ("a",),
+        ("ab",),
+        ("pack packs packed 42 z z9 99  x",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    sh = df.select(
+        char_shingles(normalize_text("t"), 5).alias("sh")
+    ).select(F.explode("sh").alias("s")).distinct()
+    enc = sh.select("s", F.explode(shingle_pack(F.array("s"), 5)).alias("p"))
+    n_s = enc.select("s").distinct().count()
+    n_p = enc.select("p").distinct().count()
+    assert n_s == n_p  # injective on this shingle set
