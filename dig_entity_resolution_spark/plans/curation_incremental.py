@@ -373,7 +373,13 @@ class IncrementalCuration:
             derive_ppl_thresholds(quality) if cfg.keep_ppl_buckets else ()
         )
         kept = quality.filter(F.col("keep")).select(*_DOC_COLS)
-        groups = exact_dup_groups(kept, "doc_id", "text")
+        # snap the NARROW group table once (late-r8): content_keys,
+        # survivors and near_dup_init's shingle/docs materializations all
+        # sit above `groups`, and left lazy each of those actions re-ran
+        # the exact-dedup chain (normalize regex + md5 + group agg over
+        # the full corpus) from the quality checkpoint — ~3 recomputes
+        # per init at the 10x bench corpus.
+        groups = _snap(exact_dup_groups(kept, "doc_id", "text"))
         survivors = kept.join(
             groups.filter(~F.col("is_canonical")).select("doc_id"),
             "doc_id",
