@@ -546,10 +546,16 @@ def near_dup_corpus(
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     max_bucket: int = 200,
-    encode_verify: bool = False,
+    encode_verify: bool = True,
     rebalance: bool = True,
 ) -> DataFrame:
     """The PRODUCTION dedup end product: the kept (deduplicated) corpus.
+
+    encode_verify defaults True since the arithmetic shingle_pack
+    (late-r8): the dictionary-build cost that made the string verify
+    the better default for this capped config is gone — A/B at sf0.1:
+    parity at the 5k corpus (5.2-5.8s both), int verify wins at 10x
+    (14.4/17.1 vs 19.9/19.7s). Results identical (exact injection).
 
     Chain: MinHash-LSH near-dup pairs in the fast configuration (xxhash64
     signatures, hot buckets capped at `max_bucket` via the broadcast
